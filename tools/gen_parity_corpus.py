@@ -1,0 +1,122 @@
+#!/usr/bin/env python3
+"""Generate the frozen parity corpus from the reference C++ implementation.
+
+Builds /root/reference's CPU path (pure C++) with a tiny stdin/stdout
+harness, runs a deterministic set of random pairs through it per knob
+config, and freezes (W, K, O, text, query, edit_distance, cigar) rows into
+tests/data/parity_corpus.tsv.gz. CI then asserts our implementations match
+these outputs byte-for-byte without needing the reference checkout.
+
+Usage: python tools/gen_parity_corpus.py [reference_src_dir]
+"""
+import gzip
+import os
+import random
+import subprocess
+import sys
+import tempfile
+
+HARNESS = r"""
+#include <iostream>
+#include <string>
+#include <vector>
+#include "genasm_cpu.hpp"
+using namespace std;
+int main(){
+    genasm_cpu::enabled_algorithm_log = false;
+    vector<string> texts, queries;
+    string line;
+    while(getline(cin, line)){
+        auto tab = line.find('\t');
+        if(tab == string::npos) continue;
+        texts.push_back(line.substr(0, tab));
+        queries.push_back(line.substr(tab+1));
+    }
+    auto alignments = genasm_cpu::align_all(texts, queries, 1);
+    for(auto &a : alignments) cout << a.edit_distance << "\t" << a.cigar << "\n";
+    return 0;
+}
+"""
+
+CONFIGS = [(64, 64, 33), (32, 32, 17), (128, 128, 65), (64, 64, 2),
+           (16, 16, 9), (64, 64, 48), (96, 96, 49)]
+
+
+def mutate(seq, rng, rate):
+    out = []
+    for c in seq:
+        r = rng.random()
+        if r < rate / 3:
+            continue
+        if r < 2 * rate / 3:
+            out.append(rng.choice("ACGT"))
+            continue
+        if r < rate:
+            out.append(rng.choice("ACGT"))
+        out.append(c)
+    return "".join(out)
+
+
+def gen_cases(rng, n_cases=60, long_reads=4):
+    cases = []
+    for _ in range(n_cases):
+        n = rng.randint(1, 400)
+        t = "".join(rng.choice("ACGT") for _ in range(n))
+        q = mutate(t, rng, rng.choice([0.0, 0.03, 0.1, 0.25]))
+        if q:
+            cases.append((t, q))
+    for _ in range(long_reads):
+        n = rng.randint(2000, 11000)
+        t = "".join(rng.choice("ACGT") for _ in range(n))
+        cases.append((t, mutate(t, rng, 0.07)))
+    for _ in range(10):  # unrelated pairs
+        t = "".join(rng.choice("ACGT") for _ in range(rng.randint(8, 120)))
+        q = "".join(rng.choice("ACGT") for _ in range(rng.randint(8, 120)))
+        cases.append((t, q))
+    # handcrafted goldens (tests.cu:183-196)
+    ref = "AAAACCCCGGGGTTTT"
+    for q in ["CCCCGGGGTTTTAAAA", "AAAACCCCGGGGTTTT", "ACCCCGG",
+              "AAAAGGGGAAAATTTT", "AAAAAAAAAAAAAAAA", "ATTAACGCCTTT",
+              "TTTTAAAACCCCGGGGTTTTAAAA",
+              "T" * 44 + "AAAACCCCGGGGTTTTAAAA"]:
+        cases.append((ref, q))
+    return cases
+
+
+def main():
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/reference/src"
+    out_path = os.path.join(os.path.dirname(__file__), "..",
+                            "tests", "data", "parity_corpus.tsv.gz")
+    rows = []
+    with tempfile.TemporaryDirectory() as tmp:
+        hpath = os.path.join(tmp, "harness.cpp")
+        with open(hpath, "w") as f:
+            f.write(HARNESS)
+        for (W, K, O) in CONFIGS:
+            exe = os.path.join(tmp, f"ref_{W}_{K}_{O}")
+            subprocess.run(
+                ["g++", "-O2", "-std=c++17", "-fopenmp", f"-I{src}",
+                 "-DCLI_KNOBS", f"-DCLI_W={W}", f"-DCLI_K={K}", f"-DCLI_O={O}",
+                 "-DCLI_STORE_ENTRIES_NOT_EDGES", "-DCLI_EARLY_TERMINATION",
+                 hpath, os.path.join(src, "genasm_cpu.cpp"),
+                 os.path.join(src, "util.cpp"), "-o", exe],
+                check=True)
+            rng = random.Random(W * 10007 + O)
+            cases = gen_cases(rng)
+            # the reference's unstructured align_all returns every other
+            # alignment (pair_idx double increment, genasm_cpu.cpp:600-604);
+            # duplicate inputs so even indices cover all cases.
+            stdin = "".join(f"{t}\t{q}\n{t}\t{q}\n" for t, q in cases)
+            out = subprocess.run([exe], input=stdin, capture_output=True,
+                                 text=True, check=True).stdout
+            results = [l.split("\t") for l in out.strip("\n").split("\n")]
+            assert len(results) == len(cases)
+            for (t, q), (ed, cig) in zip(cases, results):
+                rows.append(f"{W}\t{K}\t{O}\t{t}\t{q}\t{ed}\t{cig}\n")
+    with gzip.open(out_path, "wt") as f:
+        f.writelines(rows)
+    print(f"wrote {len(rows)} rows to {out_path}")
+
+
+if __name__ == "__main__":
+    main()
