@@ -9,6 +9,10 @@ shared reference genome with candidate locations), plus the surrounding
 I/O, testing, profiling, and multi-chip scaling machinery.
 """
 
+from .utils import xla_workarounds as _xla_workarounds
+
+_xla_workarounds.apply()
+
 from .config import AlignConfig
 from .datamodel import Alignment, CandidateLocation, Genome, Read
 from .api import align_all, align_pairs, align_reads

@@ -1,23 +1,129 @@
-"""Library API: the two align_all interfaces (placeholder, pyref backend).
+"""Library API: the two align_all interfaces over the batched device engine.
 
-Will be replaced by the batched device path; kept minimal so the package
-imports while the engine is under construction.
+Mirrors the reference's 4-overload surface (genasm_cpu.hpp:6-7,
+genasm_gpu.hpp:6-7) with one Python API: ``align_pairs(texts, queries)``
+(unstructured) and ``align_reads(genome, reads)`` (read-mapping against a
+shared reference with candidate locations), both returning ``Alignment``
+(extended CIGAR + semiglobal edit distance), dispatched by ``align_all``.
+
+Execution model (replaces OpenMP threads / persistent CUDA blocks):
+ - pairs are sorted by read length descending (the load-balance trick the
+   reference applies at tests.cu:375-377) and packed into fixed-size lane
+   tiles (multiples of 128 = TPU lane width),
+ - per tile, one jitted lockstep scan over DP windows does everything on
+   device; CIGAR runs come back packed and are stringified on host,
+ - pad-dimension bucketing (powers of two) bounds the number of XLA
+   retraces across calls — the analogue of the reference's
+   recompile-per-config, amortized.
+
+Per-pair failures (no alignment within K, or pathological stalls the
+reference would hang on) are retried on the exact scalar path and raise
+``AlignmentError`` if genuinely unalignable.
 """
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+import sys
+import time
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Tuple, Union
+
+import numpy as np
 
 from .config import AlignConfig
 from .datamodel import Alignment, Genome, Read
 from . import pyref
 
+# Mirrors genasm_cpu::enabled_algorithm_log (genasm_cpu.cpp:121); the
+# "core algorithm ran at N aligns/second" stderr line is scraped by the
+# profiling tooling, so its format is API (profile.py:55-63 analogue).
+enabled_algorithm_log = False
 
-def align_pairs(texts: Sequence[str], queries: Sequence[str],
-                config: Optional[AlignConfig] = None) -> List[Alignment]:
-    cfg = config or AlignConfig()
-    if len(texts) != len(queries):
-        raise ValueError("texts and queries must have equal length")
+
+class AlignmentError(ValueError):
+    """A pair could not be aligned within K edits per window."""
+
+
+_ENCODE_LUT = np.full(256, 255, np.uint8)
+for _c, _v in zip(b"ACGTacgt", [0, 1, 2, 3, 0, 1, 2, 3]):
+    _ENCODE_LUT[_c] = _v
+
+
+def encode_np(seq: str) -> np.ndarray:
+    """ASCII -> 2-bit codes (vectorized ascii_to_zero_based_string,
+    genasm_cpu.cpp:462-493). Raises on non-ACGT."""
+    raw = np.frombuffer(seq.encode("ascii"), np.uint8)
+    codes = _ENCODE_LUT[raw]
+    if codes.max(initial=0) == 255:
+        bad = chr(raw[int(np.argmax(codes == 255))])
+        raise ValueError(f"non-ACGT character in sequence: {bad!r}")
+    return codes
+
+
+@dataclass
+class AlignStats:
+    """Timing stats; core_ns mirrors the reference's core_algorithm_ns
+    out-parameter (genasm_cpu.cpp:495,532-539)."""
+
+    num_pairs: int = 0
+    core_ns: int = 0
+    postprocess_ns: int = 0
+    retried_pairs: int = 0
+
+    @property
+    def aligns_per_second(self) -> float:
+        return self.num_pairs * 1e9 / max(self.core_ns, 1)
+
+
+def _bucket(n: int, minimum: int = 64) -> int:
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+def _build_alignments(cfg, tile_pairs, res, stats):
+    """Compact device results, stringify, and collect failures."""
+    import jax.numpy as jnp
+
+    from .ops.engine_xla import compact_entries
+    from .ops.postprocess import entries_to_cigars
+
+    totals_dev = jnp.sum(res.counts, axis=0)
+    totals_host = np.asarray(totals_dev)
+    cap = _bucket(max(int(totals_host.max(initial=0)), 1))
+    compacted, totals = compact_entries(res.entries, res.counts, cap)
+
+    t0 = time.perf_counter_ns()
+    cigars = entries_to_cigars(np.asarray(compacted), np.asarray(totals))
+    stats.postprocess_ns += time.perf_counter_ns() - t0
+
+    eds = np.asarray(res.edit_distance)
+    failed = np.asarray(res.failed)
+    return eds, cigars, failed
+
+
+def _retry_pyref(cfg, text_codes: np.ndarray, pattern_codes: np.ndarray,
+                 pair_idx: int) -> Alignment:
+    try:
+        ed, cigar = pyref.genasm(list(text_codes), list(pattern_codes), cfg)
+    except ValueError as e:
+        raise AlignmentError(
+            f"pair {pair_idx}: no alignment within K={cfg.K} edits per "
+            f"window (W={cfg.W})") from e
+    return Alignment(cigar=cigar, edit_distance=ed)
+
+
+def _log_throughput(stats: AlignStats):
+    if enabled_algorithm_log:
+        print(
+            f"core algorithm ran at {int(stats.aligns_per_second)} "
+            "aligns/second",
+            file=sys.stderr,
+        )
+
+
+def _pyref_align_pairs(texts, queries, cfg):
     out = []
     for t, q in zip(texts, queries):
         ed, cigar = pyref.align_pair(t, q, cfg)
@@ -25,20 +131,166 @@ def align_pairs(texts: Sequence[str], queries: Sequence[str],
     return out
 
 
-def align_reads(reference: Genome, reads: Sequence[Read],
-                config: Optional[AlignConfig] = None) -> List[Alignment]:
+def align_pairs(
+    texts: Sequence[str],
+    queries: Sequence[str],
+    config: Optional[AlignConfig] = None,
+    return_stats: bool = False,
+):
+    """Unstructured pairwise interface (genasm_cpu.cpp:557-609 analogue).
+
+    Aligns queries[i] semiglobally against texts[i]. Unlike the reference's
+    CPU variant, returns ALL alignments (the reference drops every other
+    pair — known upstream bug, genasm_cpu.cpp:600-604, not replicated).
+    """
     cfg = config or AlignConfig()
-    out = []
+    if len(texts) != len(queries):
+        raise ValueError("texts and queries must have equal length")
+    stats = AlignStats(num_pairs=len(texts))
+
+    if cfg.backend == "pyref":
+        out = _pyref_align_pairs(texts, queries, cfg)
+        _log_throughput(stats)
+        return (out, stats) if return_stats else out
+
+    from .ops.engine_xla import align_batch
+
+    text_codes = [encode_np(t) for t in texts]
+    query_codes = [encode_np(q) for q in queries]
+
+    order = sorted(range(len(texts)), key=lambda i: -len(queries[i]))
+    results: List[Optional[Alignment]] = [None] * len(texts)
+
+    tile_size = cfg.batch_tile
+    for t0 in range(0, len(order), tile_size):
+        idxs = order[t0 : t0 + tile_size]
+        B = tile_size
+        P = _bucket(max((len(query_codes[i]) for i in idxs), default=1) or 1)
+        T = _bucket(max((len(text_codes[i]) for i in idxs), default=1) or 1)
+        maxw = cfg.max_windows(P)
+
+        text = np.zeros((B, T), np.uint8)
+        tlen = np.zeros(B, np.int32)
+        pattern = np.zeros((B, P), np.uint8)
+        plen = np.zeros(B, np.int32)
+        for lane, i in enumerate(idxs):
+            tc, qc = text_codes[i], query_codes[i]
+            text[lane, : len(tc)] = tc
+            tlen[lane] = len(tc)
+            pattern[lane, : len(qc)] = qc
+            plen[lane] = len(qc)
+
+        tns = time.perf_counter_ns()
+        res = align_batch(cfg, maxw, text, tlen, pattern, plen)
+        res.entries.block_until_ready()
+        stats.core_ns += time.perf_counter_ns() - tns
+
+        eds, cigars, failed = _build_alignments(cfg, idxs, res, stats)
+        for lane, i in enumerate(idxs):
+            if failed[lane]:
+                stats.retried_pairs += 1
+                results[i] = _retry_pyref(cfg, text_codes[i], query_codes[i], i)
+            else:
+                results[i] = Alignment(cigar=cigars[lane],
+                                       edit_distance=int(eds[lane]))
+
+    _log_throughput(stats)
+    return (results, stats) if return_stats else results
+
+
+def align_reads(
+    reference: Genome,
+    reads: Sequence[Read],
+    config: Optional[AlignConfig] = None,
+    return_stats: bool = False,
+):
+    """Read-mapping interface (genasm_cpu.cpp:495-555 analogue).
+
+    One alignment per (read, candidate location), in read-major order. The
+    reference genome is uploaded once as a flat 2-bit-coded device array
+    and all window text is gathered from it by global offset — no per-pair
+    text copies (the reference's shared-reference property, README.md:83-86).
+    """
+    import jax.numpy as jnp
+
+    cfg = config or AlignConfig()
+    pairs: List[Tuple[int, Read]] = []  # (start_in_reference, read)
     for read in reads:
         for loc in read.locations:
-            text = reference.content[loc.start_in_reference:]
-            ed, cigar = pyref.align_pair(text, read.content, cfg)
+            pairs.append((loc.start_in_reference, read))
+    stats = AlignStats(num_pairs=len(pairs))
+
+    if cfg.backend == "pyref":
+        out = []
+        for start, read in pairs:
+            ed, cigar = pyref.align_pair(reference.content[start:],
+                                         read.content, cfg)
             out.append(Alignment(cigar=cigar, edit_distance=ed))
-    return out
+        _log_throughput(stats)
+        return (out, stats) if return_stats else out
+
+    from .ops.engine_xla import align_batch_mapped
+
+    genome_codes = encode_np(reference.content)
+    glen = len(genome_codes)
+    # pad to a power-of-two bucket so XLA traces once per bucket, not per
+    # genome length (padding is never read: text_len clamps usable text)
+    gpad = _bucket(max(glen, 1))
+    genome_dev = jnp.asarray(
+        np.pad(genome_codes, (0, gpad - glen)) if gpad != glen else genome_codes)
+    query_codes = [encode_np(read.content) for _, read in pairs]
+
+    order = sorted(range(len(pairs)), key=lambda i: -len(query_codes[i]))
+    results: List[Optional[Alignment]] = [None] * len(pairs)
+
+    tile_size = cfg.batch_tile
+    for t0 in range(0, len(order), tile_size):
+        idxs = order[t0 : t0 + tile_size]
+        B = tile_size
+        P = _bucket(max((len(query_codes[i]) for i in idxs), default=1) or 1)
+        maxw = cfg.max_windows(P)
+        # usable text per lane is bounded by total possible consumption;
+        # pre-clamping keeps window arithmetic in int32 even for huge genomes
+        text_bound = maxw * cfg.tb_limit + cfg.W
+
+        starts = np.zeros(B, np.uint32)
+        tlen = np.zeros(B, np.int32)
+        pattern = np.zeros((B, P), np.uint8)
+        plen = np.zeros(B, np.int32)
+        for lane, i in enumerate(idxs):
+            start = pairs[i][0]
+            if not (0 <= start <= glen):
+                raise ValueError(f"candidate location {start} out of genome bounds")
+            qc = query_codes[i]
+            starts[lane] = start
+            tlen[lane] = min(glen - start, text_bound)
+            pattern[lane, : len(qc)] = qc
+            plen[lane] = len(qc)
+
+        tns = time.perf_counter_ns()
+        res = align_batch_mapped(cfg, maxw, genome_dev, starts, tlen,
+                                 pattern, plen)
+        res.entries.block_until_ready()
+        stats.core_ns += time.perf_counter_ns() - tns
+
+        eds, cigars, failed = _build_alignments(cfg, idxs, res, stats)
+        for lane, i in enumerate(idxs):
+            if failed[lane]:
+                stats.retried_pairs += 1
+                start = pairs[i][0]
+                end = min(glen, start + int(tlen[lane]))
+                results[i] = _retry_pyref(cfg, genome_codes[start:end],
+                                          query_codes[i], i)
+            else:
+                results[i] = Alignment(cigar=cigars[lane],
+                                       edit_distance=int(eds[lane]))
+
+    _log_throughput(stats)
+    return (results, stats) if return_stats else results
 
 
-def align_all(*args, **kwargs) -> List[Alignment]:
-    """Dispatch between the two interfaces by argument types, mirroring the
+def align_all(*args, **kwargs):
+    """Dispatch between the two interfaces by argument type, mirroring the
     reference's overload pair (genasm_cpu.hpp:6-7)."""
     first = args[0] if args else kwargs.get("reference", kwargs.get("texts"))
     if isinstance(first, Genome):

@@ -50,7 +50,7 @@ class AlignConfig:
     # TPU execution knobs (no reference analogue; tile sizing replaces the
     # GPU's THREAD_BLOCKS_PER_SM / persistent-block work queue,
     # genasm_gpu.cu:583-629).
-    batch_tile: int = 512
+    batch_tile: int = 1024  # 8 sublanes x 128 lanes: dense VPU tiles
     backend: str = "auto"  # "auto" | "xla" | "pallas" | "pyref"
 
     def __post_init__(self):
@@ -85,21 +85,34 @@ class AlignConfig:
         return (self.W + 31) // 32
 
     @property
+    def first_tb_word(self) -> int:
+        """First full-vector word kept in the stored R entry.
+
+        In the MSB-aligned space the traceback reads bits W-1-j and
+        W-1-(j+1) for j < tb_limit, i.e. bits [O-1, W); stored entries
+        keep the words covering that range.
+        """
+        return max(self.O - 1, 0) // 32
+
+    @property
     def num_tb_words(self) -> int:
         """uint32 words per stored (traceback-truncated) R entry."""
-        return (self.columns + 31) // 32
+        return self.num_words - self.first_tb_word
 
     def max_windows(self, max_read_len: int) -> int:
         """Static bound on the number of DP windows for a read length.
 
-        Each window consumes at least one pattern char on valid paths; in
-        practice it consumes up to tb_limit. We budget tb_limit-advance
-        plus slack; lanes that stall (pathological inputs the reference
-        would infinite-loop on, genasm_cpu.cpp:416-435) are flagged failed.
+        A window consumes up to tb_limit pattern chars, but fewer when
+        deletions advance the text cursor to tb_limit first — so we budget
+        ~34% headroom (sufficient up to ~25% deletion rate) plus slack.
+        Lanes that still run out are flagged failed and the API retries
+        them (lanes that stall entirely — pathological inputs the
+        reference would infinite-loop on, genasm_cpu.cpp:416-435 — are
+        flagged failed permanently).
         """
         if max_read_len <= 0:
             return 1
-        return int(math.ceil(max_read_len / max(1, self.tb_limit))) + 2
+        return int(math.ceil(max_read_len * 1.34 / max(1, self.tb_limit))) + 4
 
     # Max traceback path steps per window: each step consumes a text or
     # pattern char (or both); i and j are both bounded by tb_limit, and j

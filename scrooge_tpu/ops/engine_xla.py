@@ -1,0 +1,431 @@
+"""Batched GenASM/Scrooge engine in pure JAX (XLA path).
+
+Runs the full windowed alignment — DP fill, traceback, CIGAR run-length
+emission — for a tile of B = S*128 pairs in lockstep, as one jittable
+function. This is the portable device path (CPU/TPU via XLA); the Pallas
+kernel (engine_pallas) accelerates the DP fill on TPU with identical
+outputs, and both must match the scalar oracle (pyref) bit-exactly.
+
+Reference semantics implemented (cites into /root/reference/src/):
+ - DP recurrence + boundaries: genasm_cpu.cpp:214-252
+ - window edit distance probe + early termination: genasm_cpu.cpp:278-283
+ - traceback rules (I>D>X>'=' priority, TB_LIMIT, trailing-delete stop,
+   per-window run flushes): genasm_cpu.cpp:290-409
+ - windowing driver: genasm_cpu.cpp:411-438
+
+TPU-native design choices (no reference analogue):
+ - MSB-aligned bitvector space: all window quantities are shifted left by
+   s = W - m so the full-match probe is the static bit W-1 and traceback
+   reads bit W-1-j; left shifts fill zeros from below, preserving exact
+   semantics (see ops/bitvec.py docstring).
+ - Batched lockstep replaces OpenMP threads / persistent CUDA blocks: the
+   d-loop is a while_loop that stops when every lane has found its window
+   distance (batched early termination); the traceback walks d-levels
+   max_d..1 in lockstep so the R-row select is a scalar dynamic_slice.
+ - R stores only the traceback-needed top words (the DENT optimization is
+   always on device-side; output-invariant).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..config import AlignConfig
+from . import bitvec as bv
+
+# CIGAR op codes used on device; order encodes nothing — priority is
+# explicit in the traceback select.
+OP_EQ, OP_X, OP_I, OP_D = 0, 1, 2, 3
+OP_NONE = 4
+OP_CHARS = "=XID"
+
+# packed entry = op << 12 | run_count (uint16); run counts are bounded by
+# 2*tb_limit per window, < 4096 for any W <= 2048.
+ENTRY_OP_SHIFT = 12
+ENTRY_CNT_MASK = (1 << ENTRY_OP_SHIFT) - 1
+
+
+class BatchResult(NamedTuple):
+    edit_distance: jnp.ndarray  # (B,) int32
+    failed: jnp.ndarray  # (B,) bool — no alignment within K / stalled
+    entries: jnp.ndarray  # (MAXW, NE, B) uint16 packed CIGAR runs
+    counts: jnp.ndarray  # (MAXW, B) int32 valid entries per window
+
+
+def _column_select(row, i, ip1, cols):
+    """Per-lane select of columns i and i+1 from row (COLS, NWH, S, 128).
+
+    Unrolled compare-accumulate over the (static, small) column axis — the
+    TPU-friendly replacement for a per-lane gather.
+    """
+    nwh = row.shape[1]
+    lane_shape = row.shape[2:]
+    selA = [jnp.zeros(lane_shape, jnp.uint32) for _ in range(nwh)]
+    selB = [jnp.zeros(lane_shape, jnp.uint32) for _ in range(nwh)]
+    for c in range(cols):
+        eqA = i == c
+        eqB = ip1 == c
+        for w in range(nwh):
+            selA[w] = jnp.where(eqA, row[c, w], selA[w])
+            selB[w] = jnp.where(eqB, row[c, w], selB[w])
+    return jnp.stack(selA), jnp.stack(selB)
+
+
+def _flush(entries, nfl, op, cnt, do_flush, ne):
+    """Append packed (op, cnt) at per-lane index nfl where do_flush."""
+    packed = ((op.astype(jnp.uint32) << ENTRY_OP_SHIFT)
+              | cnt.astype(jnp.uint32)).astype(jnp.uint16)
+    slot = jax.lax.broadcasted_iota(jnp.int32, (ne,) + nfl.shape, 0)
+    mask = (slot == nfl[None]) & do_flush[None]
+    entries = jnp.where(mask, packed[None], entries)
+    nfl = nfl + do_flush.astype(jnp.int32)
+    return entries, nfl
+
+
+def _window_step(cfg: AlignConfig, gather_text, tlen, pattern, plen, carry):
+    """One W-wide window for every lane: DP fill + traceback.
+
+    gather_text(ref_idx (S,128)) -> (B, W) int32 window text codes;
+    pattern: (B, P); tlen/plen/(carry items) shaped (S, 128).
+    """
+    W, K, O = cfg.W, cfg.K, cfg.O
+    NW, NWH, FTW = cfg.num_words, cfg.num_tb_words, cfg.first_tb_word
+    COLS, ROWS, TB = cfg.columns, cfg.rows, cfg.tb_limit
+    NE = 2 * TB + 2
+    B = pattern.shape[0]
+    S = B // 128
+    lane = (S, 128)
+
+    ref_idx, read_idx, ed, done, failed = carry
+
+    m = jnp.where(done, 0, jnp.clip(plen - read_idx, 0, W))
+    n = jnp.where(done, 0, jnp.clip(tlen - ref_idx, 0, W))
+    s = W - m
+    lane_ones = bv.ones_shifted(s, W)
+
+    # ---- window gathers (once per window) ----
+    wiota = jnp.arange(W, dtype=jnp.int32)
+    wtext = gather_text(ref_idx)  # (B, W) int32
+    pidx = jnp.clip(read_idx.reshape(B, 1) + wiota[None, :], 0, pattern.shape[1] - 1)
+    wpat = jnp.take_along_axis(pattern, pidx, axis=1).astype(jnp.int32)
+
+    # ---- pattern bitmasks (genasm_cpu.cpp:178-198, MSB-aligned) ----
+    # bit b of word w (global bit gb = 32w+off) corresponds to pattern
+    # position j = W-1-gb; it participates iff j < m <=> gb >= s.
+    s_b = s.reshape(B)
+    wpat_rev = wpat[:, ::-1]  # position gb holds pattern char at j = W-1-gb
+    gb_all = jnp.arange(W, dtype=jnp.int32)
+    valid = gb_all[None, :] >= s_b[:, None]  # (B, W)
+    pmc = []  # per char: curPm = ~match_bits & lane_ones, (NW, S, 128)
+    for c in range(4):
+        match = (wpat_rev == c) & valid  # (B, W)
+        words = []
+        for w in range(NW):
+            bits_here = min(32, W - 32 * w)
+            chunk = match[:, 32 * w : 32 * w + bits_here]
+            weights = jnp.asarray(
+                (1 << np.arange(bits_here, dtype=np.uint64)).astype(np.uint32))
+            acc = jnp.sum(chunk.astype(jnp.uint32) * weights[None, :],
+                          axis=1, dtype=jnp.uint32)
+            words.append(acc.reshape(lane))
+        x = jnp.stack(words)
+        pmc.append((~x) & lane_ones)
+    pmc = jnp.stack(pmc)  # (4, NW, S, 128)
+
+    # per-text-position pm select: PMI[i] = pmc[wtext[:, i]]  -> (W, NW, S, 128)
+    pmc_b = pmc.reshape(4, NW, B).transpose(2, 0, 1)  # (B, 4, NW)
+    pmi = jnp.take_along_axis(pmc_b, wtext[:, :, None], axis=1)  # (B, W, NW)
+    pmi = pmi.transpose(1, 2, 0).reshape(W, NW, S, 128)
+
+    # ---- DP fill (genasm_cpu.cpp:210-288) ----
+    top_bit_off = (W - 1) % 32
+
+    # Precompute the per-row start-column vectors ones << (s + d) for all d
+    # OUTSIDE the d-loop. (XLA CPU compiles loop-variant shift chains that
+    # feed nested-loop carry inits pathologically slowly; a table +
+    # dynamic_slice sidesteps it and is cheaper per row anyway.)
+    d_all = jnp.arange(ROWS + 1, dtype=jnp.int32)
+    ones_table = jax.vmap(lambda dv: bv.ones_shifted(s + dv, W))(d_all)
+
+    def d_body(st):
+        d, R, ff, found, wed = st
+        ones_d = lax.dynamic_slice(
+            ones_table, (d, 0, 0, 0), (1, NW, S, 128))[0]
+        is_zero = d == 0
+
+        def i_body(step, ist):
+            # i descends W .. 0; the i == W column takes the all-start path
+            i = W - step
+            right, topright, ff_, rrow = ist
+            top = lax.dynamic_slice(
+                ff_, (i, 0, 0, 0), (1, NW, S, 128))[0]
+            cur_pm = lax.dynamic_slice(
+                pmi, (jnp.minimum(i, W - 1), 0, 0, 0), (1, NW, S, 128))[0]
+            is_start = i >= n  # covers i == W for every lane (n <= W)
+            mat = bv.shl1(right, W) | cur_pm
+            full = mat & bv.shl1(topright, W) & bv.shl1(top, W) & topright
+            nonstart = jnp.where(is_zero, mat, full)
+            center = jnp.where(is_start, ones_d, nonstart)
+            ff_ = lax.dynamic_update_slice(ff_, center[None], (i, 0, 0, 0))
+            # store the traceback words; i >= COLS writes land on slot
+            # COLS-1 and are overwritten by the real i == COLS-1 later
+            # (i descends), so no predication is needed
+            rrow = lax.dynamic_update_slice(
+                rrow, center[FTW:NW][None], (jnp.minimum(i, COLS - 1), 0, 0, 0))
+            return center, top, ff_, rrow
+
+        # constant carry inits (right/topright are never read at i == W)
+        right0 = bv.zeros(W, lane)
+        topright0 = bv.zeros(W, lane)
+        rrow0 = jnp.zeros((COLS, NWH, S, 128), jnp.uint32)
+        center, _, ff, rrow = lax.fori_loop(
+            0, W + 1, i_body, (right0, topright0, ff, rrow0))
+
+        hit = ((center[NW - 1] >> top_bit_off) & 1) == 0
+        newly = hit & ~found
+        wed = jnp.where(newly, d, wed)
+        found = found | newly
+        R = lax.dynamic_update_slice(R, rrow[None], (d, 0, 0, 0, 0))
+        return d + 1, R, ff, found, wed
+
+    def d_cond(st):
+        d, _, _, found, _ = st
+        in_range = d <= K
+        if cfg.early_termination:
+            return in_range & ~jnp.all(found)
+        return in_range
+
+    R0 = jnp.zeros((ROWS, COLS, NWH, S, 128), jnp.uint32)
+    ff0 = jnp.zeros((W + 1, NW, S, 128), jnp.uint32)
+    found0 = jnp.zeros(lane, bool)
+    wed0 = jnp.zeros(lane, jnp.int32)
+    _, R, _, found, wed = lax.while_loop(
+        d_cond, d_body, (jnp.int32(0), R0, ff0, found0, wed0))
+
+    wed = jnp.where(found, wed, 0)
+
+    # ---- traceback (genasm_cpu.cpp:290-409), lockstep d-level sweep ----
+    i0 = jnp.zeros(lane, jnp.int32)
+    j0 = jnp.zeros(lane, jnp.int32)
+    fin0 = j0 >= m  # `while (j < m)` entry condition
+    entries0 = jnp.zeros((NE,) + lane, jnp.uint16)
+    nfl0 = jnp.zeros(lane, jnp.int32)
+    cur_op0 = jnp.full(lane, OP_NONE, jnp.int32)
+    cur_cnt0 = jnp.zeros(lane, jnp.int32)
+
+    def level_body(st):
+        lvl, i, j, dd, fin, cur_op, cur_cnt, nfl, entries = st
+        row = lax.dynamic_slice(
+            R, (lvl - 1, 0, 0, 0, 0), (1, COLS, NWH, S, 128))[0]
+
+        def sub_cond(sst):
+            _, _, _, fin_, _, _, _, _, safety = sst
+            dd_ = sst[2]
+            active = ~fin_ & (dd_ == lvl)
+            return jnp.any(active) & (safety < TB + 2)
+
+        def sub_body(sst):
+            i_, j_, dd_, fin_, cur_op_, cur_cnt_, nfl_, entries_, safety = sst
+            active = ~fin_ & (dd_ == lvl)
+            term = active & ((j_ >= m) | (i_ >= TB) | (j_ >= TB))
+            fin_ = fin_ | term
+            act = active & ~term
+
+            selA, selB = _column_select(row, i_, i_ + 1, COLS)
+            i_limit = i_ >= n
+            jlast = j_ == (m - 1)
+            zA_j1 = bv.bit_is_zero(selA, W - 1 - (j_ + 1), FTW)
+            zB_j = bv.bit_is_zero(selB, W - 1 - j_, FTW)
+            zB_j1 = bv.bit_is_zero(selB, W - 1 - (j_ + 1), FTW)
+            # d > 0 is implied by lvl >= 1 (d_limit guard)
+            can_ins = jnp.where(jlast, True, zA_j1)
+            can_del = jnp.where(jlast, False, ~i_limit & zB_j)
+            can_sub = jnp.where(jlast, ~i_limit, ~i_limit & zB_j1)
+
+            op = jnp.where(
+                can_ins, OP_I,
+                jnp.where(can_del, OP_D, jnp.where(can_sub, OP_X, OP_EQ)))
+            takes_i = (op == OP_D) | (op == OP_X) | (op == OP_EQ)
+            takes_j = (op == OP_I) | (op == OP_X) | (op == OP_EQ)
+            is_edit = op != OP_EQ
+
+            changed = act & (op != cur_op_)
+            do_flush = changed & (cur_cnt_ > 0)
+            entries_, nfl_ = _flush(entries_, nfl_, cur_op_, cur_cnt_,
+                                    do_flush, NE)
+            cur_op_ = jnp.where(changed, op, cur_op_)
+            cur_cnt_ = jnp.where(act, jnp.where(changed, 1, cur_cnt_ + 1),
+                                 cur_cnt_)
+            i_ = i_ + jnp.where(act & takes_i, 1, 0)
+            j_ = j_ + jnp.where(act & takes_j, 1, 0)
+            dd_ = dd_ - jnp.where(act & is_edit, 1, 0)
+            return i_, j_, dd_, fin_, cur_op_, cur_cnt_, nfl_, entries_, safety + 1
+
+        i, j, dd, fin, cur_op, cur_cnt, nfl, entries, _ = lax.while_loop(
+            sub_cond, sub_body,
+            (i, j, dd, fin, cur_op, cur_cnt, nfl, entries, jnp.int32(0)))
+        return lvl - 1, i, j, dd, fin, cur_op, cur_cnt, nfl, entries
+
+    max_d = jnp.max(wed)
+    lvl0 = max_d
+    _, i, j, dd, fin, cur_op, cur_cnt, nfl, entries = lax.while_loop(
+        lambda st: st[0] >= 1, level_body,
+        (lvl0, i0, j0, wed, fin0, cur_op0, cur_cnt0, nfl0, entries0))
+
+    # final d==0 phase: pure '=' run, closed form (check-before-step)
+    active0 = ~fin & (dd == 0)
+    run = jnp.minimum(jnp.minimum(m - j, TB - i), TB - j)
+    run = jnp.where(active0, jnp.maximum(run, 0), 0)
+    has_run = run > 0
+    same = has_run & (cur_op == OP_EQ) & (cur_cnt > 0)
+    do_flush = has_run & ~same & (cur_cnt > 0)
+    entries, nfl = _flush(entries, nfl, cur_op, cur_cnt, do_flush, NE)
+    cur_cnt = jnp.where(has_run, jnp.where(same, cur_cnt + run, run), cur_cnt)
+    cur_op = jnp.where(has_run, OP_EQ, cur_op)
+    i = i + run
+    j = j + run
+
+    # trailing flush (genasm_cpu.cpp:400-403)
+    entries, nfl = _flush(entries, nfl, cur_op, cur_cnt, cur_cnt > 0, NE)
+
+    edits_used = wed - dd
+    text_consumed = i
+    pattern_consumed = j
+
+    # ---- carry update (genasm_cpu.cpp:432-435) ----
+    active = ~done
+    window_failed = active & ~found
+    stalled = active & found & (text_consumed == 0) & (pattern_consumed == 0)
+    new_failed = failed | window_failed | stalled
+    ed = ed + jnp.where(active & ~new_failed, edits_used, 0)
+    ref_idx = ref_idx + jnp.where(active & ~new_failed, text_consumed, 0)
+    read_idx = read_idx + jnp.where(active & ~new_failed, pattern_consumed, 0)
+    new_done = (read_idx >= plen) | new_failed
+
+    new_carry = (ref_idx, read_idx, ed, new_done, new_failed)
+    nfl = jnp.where(active & ~new_failed, nfl, 0)
+    return new_carry, (entries, nfl)
+
+
+def _align_scan(cfg: AlignConfig, max_windows: int, gather_text,
+                text_len, pattern, pattern_len) -> BatchResult:
+    B = pattern.shape[0]
+    if B % 128 != 0:
+        raise ValueError("batch must be a multiple of 128 lanes")
+    S = B // 128
+    lane = (S, 128)
+    tlen = text_len.astype(jnp.int32).reshape(lane)
+    plen = pattern_len.astype(jnp.int32).reshape(lane)
+
+    carry0 = (
+        jnp.zeros(lane, jnp.int32),  # ref_idx
+        jnp.zeros(lane, jnp.int32),  # read_idx
+        jnp.zeros(lane, jnp.int32),  # edit distance
+        plen <= 0,  # done
+        jnp.zeros(lane, bool),  # failed
+    )
+
+    def scan_body(carry, _):
+        # No all-done short-circuit: a data-dependent branch around the
+        # window gathers compiles pathologically on XLA CPU, and finished
+        # lanes are inert anyway (m = 0 -> found at d = 0, empty traceback).
+        return _window_step(cfg, gather_text, tlen, pattern, plen, carry)
+
+    carry, (entries, counts) = lax.scan(
+        scan_body, carry0, None, length=max_windows)
+
+    _, read_idx, ed, done, failed = carry
+    # lanes still unfinished after max_windows are failures
+    failed = failed | (read_idx < plen)
+
+    NE = entries.shape[1]
+    return BatchResult(
+        edit_distance=ed.reshape(B),
+        failed=failed.reshape(B),
+        entries=entries.reshape(max_windows, NE, B),
+        counts=counts.reshape(max_windows, B),
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def align_batch(cfg: AlignConfig, max_windows: int,
+                text, text_len, pattern, pattern_len) -> BatchResult:
+    """Align B = S*128 encoded pairs; returns packed per-window CIGAR runs.
+
+    text: (B, T) uint8 2-bit codes, text_len: (B,) int32; same for pattern.
+    """
+    B, T = text.shape
+    W = cfg.W
+    wiota = jnp.arange(W, dtype=jnp.int32)
+
+    def gather_text(ref_idx):
+        tidx = jnp.clip(ref_idx.reshape(B, 1) + wiota[None, :], 0, T - 1)
+        return jnp.take_along_axis(text, tidx, axis=1).astype(jnp.int32)
+
+    return _align_scan(cfg, max_windows, gather_text,
+                       text_len, pattern, pattern_len)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def align_batch_mapped(cfg: AlignConfig, max_windows: int,
+                       genome, starts, text_len,
+                       pattern, pattern_len) -> BatchResult:
+    """Read-mapping variant: per-lane text views into one shared genome.
+
+    The genome stays as a single flat device array in HBM and windows are
+    gathered by global offset — the TPU equivalent of the reference's
+    shared 2-bit reference views with character-granular offsets
+    (genasm_gpu.cu:162-189, 692-743): no per-pair text copies.
+
+    genome: (G,) uint8 codes; starts: (B,) uint32 global start offsets;
+    text_len: (B,) int32 usable text per lane, pre-clamped by the caller to
+    the consumption bound so all window-local arithmetic fits int32 even
+    for >2^31-base genomes.
+    """
+    B = pattern.shape[0]
+    G = genome.shape[0]
+    W = cfg.W
+    wiota = jnp.arange(W, dtype=jnp.uint32)
+    starts_u = starts.astype(jnp.uint32)
+
+    def gather_text(ref_idx):
+        base = starts_u.reshape(B, 1) + ref_idx.reshape(B, 1).astype(jnp.uint32)
+        idx = jnp.minimum(base + wiota[None, :], jnp.uint32(G - 1))
+        return jnp.take(genome, idx).astype(jnp.int32)
+
+    return _align_scan(cfg, max_windows, gather_text,
+                       text_len, pattern, pattern_len)
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def compact_entries(entries, counts, cap: int):
+    """Concatenate each lane's valid per-window runs into (cap, B).
+
+    entries: (MAXW, NE, B) uint16, counts: (MAXW, B) int32. Output slot g of
+    lane b holds the g-th CIGAR run of that pair; slots >= total are 0.
+    """
+    maxw, ne, b = entries.shape
+    cum = jnp.cumsum(counts, axis=0)  # inclusive, (MAXW, B)
+    totals = cum[-1]
+
+    g = jnp.arange(cap, dtype=jnp.int32)
+
+    def per_lane(cum_lane, ent_lane):
+        # cum_lane: (MAXW,), ent_lane: (MAXW*NE,)
+        w = jnp.searchsorted(cum_lane, g, side="right")
+        w = jnp.minimum(w, maxw - 1)
+        prev = jnp.where(w > 0, cum_lane[jnp.maximum(w - 1, 0)], 0)
+        e = g - prev
+        src = w * ne + jnp.clip(e, 0, ne - 1)
+        return ent_lane[src]
+
+    out = jax.vmap(per_lane, in_axes=(1, 1), out_axes=1)(
+        cum, entries.reshape(maxw * ne, b))
+    valid = g[:, None] < totals[None, :]
+    return jnp.where(valid, out, 0).astype(jnp.uint16), totals

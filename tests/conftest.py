@@ -9,6 +9,15 @@ import os
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_llvm_disable_expensive_passes" not in flags:
+    # see scrooge_tpu/utils/xla_workarounds.py
+    flags = (flags + " --xla_llvm_disable_expensive_passes=true").strip()
+os.environ["XLA_FLAGS"] = flags
+
+# persistent compilation cache: engine shapes recompile across test runs
+# otherwise (tens of seconds per shape on CPU XLA)
+_cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _cache_dir)
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")

@@ -1,0 +1,180 @@
+"""Batched XLA engine parity tests (runs on the virtual CPU backend).
+
+The device engine must match the scalar oracle bit-exactly, through the
+public API, on both interfaces — the analogue of the reference's
+library_interface_correctness_test (tests.cu:273-333), plus golden values
+and the frozen reference corpus.
+"""
+
+import gzip
+import os
+import random
+
+import numpy as np
+import pytest
+
+import scrooge_tpu
+from scrooge_tpu import AlignConfig, CandidateLocation, Genome, Read
+from scrooge_tpu import pyref
+from scrooge_tpu.cigar import validate_cigar
+
+CORPUS = os.path.join(os.path.dirname(__file__), "data", "parity_corpus.tsv.gz")
+
+XLA_CFG = AlignConfig(backend="xla", batch_tile=128)
+
+
+def _mutate(seq, rng, rate):
+    out = []
+    for c in seq:
+        r = rng.random()
+        if r < rate / 3:
+            continue
+        if r < 2 * rate / 3:
+            out.append(rng.choice("ACGT"))
+            continue
+        if r < rate:
+            out.append(rng.choice("ACGT"))
+        out.append(c)
+    return "".join(out)
+
+
+def _random_cases(seed, count, max_len=300):
+    rng = random.Random(seed)
+    cases = []
+    while len(cases) < count:
+        n = rng.randint(1, max_len)
+        t = "".join(rng.choice("ACGT") for _ in range(n))
+        q = _mutate(t, rng, rng.choice([0.0, 0.05, 0.2]))
+        if q:
+            cases.append((t, q))
+    return cases
+
+
+def test_engine_matches_oracle_random():
+    cases = _random_cases(11, 100)
+    cases.append(("ACGT" * 100, ""))  # empty read lane
+    cases.append(("ACGT", "ACGTACGT" * 10))  # text exhausted
+    texts = [t for t, _ in cases]
+    queries = [q for _, q in cases]
+    got = scrooge_tpu.align_all(texts, queries, config=XLA_CFG)
+    for (t, q), a in zip(cases, got):
+        ed, cigar = pyref.align_pair(t, q, AlignConfig())
+        assert a.edit_distance == ed
+        assert a.cigar == cigar
+
+
+def test_engine_corpus_parity_default_config():
+    """Every default-config corpus row through the batched engine."""
+    cases = []
+    with gzip.open(CORPUS, "rt") as f:
+        for line in f:
+            W, K, O, text, query, ed, cigar = line.rstrip("\n").split("\t")
+            if (int(W), int(K), int(O)) == (64, 64, 33) and len(query) <= 3000:
+                cases.append((text, query, int(ed), cigar))
+    assert len(cases) > 50
+    got = scrooge_tpu.align_all([c[0] for c in cases], [c[1] for c in cases],
+                                config=XLA_CFG)
+    for (text, query, ed, cigar), a in zip(cases, got):
+        assert a.edit_distance == ed
+        assert a.cigar == cigar
+
+
+@pytest.mark.parametrize("wko", [(32, 32, 17), (16, 16, 9)])
+def test_engine_corpus_parity_other_configs(wko):
+    W, K, O = wko
+    cfg = AlignConfig(W=W, K=K, O=O, backend="xla", batch_tile=128)
+    cases = []
+    with gzip.open(CORPUS, "rt") as f:
+        for line in f:
+            w, k, o, text, query, ed, cigar = line.rstrip("\n").split("\t")
+            if (int(w), int(k), int(o)) == wko and len(query) <= 1500:
+                cases.append((text, query, int(ed), cigar))
+    assert cases
+    got = scrooge_tpu.align_all([c[0] for c in cases], [c[1] for c in cases],
+                                config=cfg)
+    for (text, query, ed, cigar), a in zip(cases, got):
+        assert a.edit_distance == ed
+        assert a.cigar == cigar
+
+
+def test_four_way_interface_equivalence():
+    """All interface x backend combinations must produce identical results
+    (tests.cu:273-333 analogue, with the backend axis replacing CPU/GPU)."""
+    cases = _random_cases(23, 24, max_len=200)
+    texts = [t for t, _ in cases]
+    queries = [q for _, q in cases]
+
+    # pairwise, both backends
+    a_pyref = scrooge_tpu.align_all(texts, queries,
+                                    config=AlignConfig(backend="pyref"))
+    a_xla = scrooge_tpu.align_all(texts, queries, config=XLA_CFG)
+
+    # read-mapping: each text becomes its own genome at offset 0
+    for i, (t, q) in enumerate(cases):
+        genome = Genome(content=t)
+        read = Read(description=f"r{i}", content=q,
+                    locations=[CandidateLocation(start_in_reference=0)])
+        m_pyref = scrooge_tpu.align_all(
+            genome, [read], config=AlignConfig(backend="pyref"))[0]
+        m_xla = scrooge_tpu.align_all(genome, [read], config=XLA_CFG)[0]
+        assert (a_pyref[i].edit_distance == a_xla[i].edit_distance
+                == m_pyref.edit_distance == m_xla.edit_distance)
+        assert (a_pyref[i].cigar == a_xla[i].cigar
+                == m_pyref.cigar == m_xla.cigar)
+
+
+def test_read_mapping_shared_genome_offsets():
+    """Multiple candidate locations into one genome; CIGARs must validate
+    at their respective offsets."""
+    rng = random.Random(3)
+    genome_str = "".join(rng.choice("ACGT") for _ in range(5000))
+    genome = Genome(content=genome_str, chromosome_starts={"chr1": 0})
+    reads = []
+    expected = []
+    for i in range(20):
+        start = rng.randint(0, 4000)
+        length = rng.randint(50, 400)
+        content = _mutate(genome_str[start : start + length], rng, 0.08)
+        if not content:
+            continue
+        reads.append(Read(
+            description=f"r{i}", content=content,
+            locations=[CandidateLocation(read_description=f"r{i}",
+                                         start_in_reference=start)]))
+        expected.append(start)
+
+    alns = scrooge_tpu.align_all(genome, reads, config=XLA_CFG)
+    assert len(alns) == len(reads)
+    for read, start, a in zip(reads, expected, alns):
+        validate_cigar(a.cigar, a.edit_distance, genome_str, read.content,
+                       start_in_reference=start)
+        ed, cigar = pyref.align_pair(genome_str[start:], read.content,
+                                     AlignConfig())
+        assert (a.edit_distance, a.cigar) == (ed, cigar)
+
+
+def test_stats_and_log_format(capsys):
+    """The aligns/second stderr line is scraped by profiling tooling;
+    its format is API (genasm_cpu.cpp:539)."""
+    from scrooge_tpu import api
+
+    alns, stats = scrooge_tpu.align_all(
+        ["ACGTACGT"], ["ACGTACGT"], config=XLA_CFG, return_stats=True)
+    assert stats.num_pairs == 1
+    assert stats.core_ns > 0
+    assert alns[0].edit_distance == 0
+
+    api.enabled_algorithm_log = True
+    try:
+        scrooge_tpu.align_all(["ACGT"], ["ACGT"], config=XLA_CFG)
+    finally:
+        api.enabled_algorithm_log = False
+    err = capsys.readouterr().err
+    assert "aligns/second" in err and "core algorithm ran at" in err
+
+
+def test_unalignable_raises():
+    cfg = AlignConfig(W=8, K=2, O=3, backend="xla", batch_tile=128)
+    with pytest.raises(Exception) as exc_info:
+        scrooge_tpu.align_all(["AAAAAAAA"], ["TTTTTTTT"], config=cfg)
+    assert "no alignment within" in str(exc_info.value)
