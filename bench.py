@@ -1,0 +1,62 @@
+"""Headline benchmark: long-read alignment throughput (aligns/second).
+
+Workload mirrors the reference's headline GPU benchmark (README.md:103-108):
+PBSIM2-style long reads (10 kbp, 95% accuracy) aligned against a reference
+genome at the representative config W=64, O=33, K=64 (plot.py:1277-1291).
+Baseline: 25,004 aligns/second — the reference CUDA kernel's example
+throughput on an RTX 3060 (kernel-only, as here: core_ns excludes host
+pre/post-processing, matching the reference's core_algorithm_ns split).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+BASELINE_ALIGNS_PER_S = 25_004.0
+
+
+def main():
+    num_reads = int(os.environ.get("BENCH_READS", "2048"))
+    read_len = int(os.environ.get("BENCH_READ_LEN", "10000"))
+    genome_len = int(os.environ.get("BENCH_GENOME", "1000000"))
+
+    from scrooge_tpu.api import align_reads
+    from scrooge_tpu.config import AlignConfig
+    from scrooge_tpu.utils.simulate import simulate_dataset
+
+    cfg = AlignConfig(W=64, K=64, O=33, early_termination=True,
+                      batch_tile=int(os.environ.get("BENCH_TILE", "2048")))
+
+    ds = simulate_dataset(genome_len=genome_len, num_reads=num_reads,
+                          read_len=read_len, accuracy=0.95, seed=7)
+
+    # warmup: trace + compile on a small prefix, excluded from timing
+    warm = ds.reads[: cfg.batch_tile // 128]
+    align_reads(ds.genome, warm, cfg)
+
+    t0 = time.perf_counter()
+    results, stats = align_reads(ds.genome, ds.reads, cfg, return_stats=True)
+    wall_s = time.perf_counter() - t0
+
+    aligns_per_s = stats.aligns_per_second
+    print(
+        f"# pairs={stats.num_pairs} core={stats.core_ns/1e9:.3f}s "
+        f"wall={wall_s:.3f}s retried={stats.retried_pairs} "
+        f"end_to_end={stats.num_pairs/wall_s:.1f} aligns/s",
+        file=sys.stderr,
+    )
+    print(json.dumps({
+        "metric": "long_read_aligns_per_second",
+        "value": round(aligns_per_s, 1),
+        "unit": "aligns/s",
+        "vs_baseline": round(aligns_per_s / BASELINE_ALIGNS_PER_S, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

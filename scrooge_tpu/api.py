@@ -165,9 +165,13 @@ def align_pairs(
     for t0 in range(0, len(order), tile_size):
         idxs = order[t0 : t0 + tile_size]
         B = tile_size
-        P = _bucket(max((len(query_codes[i]) for i in idxs), default=1) or 1)
+        longest = max((len(query_codes[i]) for i in idxs), default=1) or 1
+        P = _bucket(longest)
         T = _bucket(max((len(text_codes[i]) for i in idxs), default=1) or 1)
-        maxw = cfg.max_windows(P)
+        # window count from the ACTUAL longest read, not the padded bucket
+        # (the pad can be ~2x the data; windows cost real device time),
+        # rounded up to bound the number of distinct traced maxw values
+        maxw = -(-cfg.max_windows(longest) // 32) * 32
 
         text = np.zeros((B, T), np.uint8)
         tlen = np.zeros(B, np.int32)
@@ -247,8 +251,9 @@ def align_reads(
     for t0 in range(0, len(order), tile_size):
         idxs = order[t0 : t0 + tile_size]
         B = tile_size
-        P = _bucket(max((len(query_codes[i]) for i in idxs), default=1) or 1)
-        maxw = cfg.max_windows(P)
+        longest = max((len(query_codes[i]) for i in idxs), default=1) or 1
+        P = _bucket(longest)
+        maxw = -(-cfg.max_windows(longest) // 32) * 32
         # usable text per lane is bounded by total possible consumption;
         # pre-clamping keeps window arithmetic in int32 even for huge genomes
         text_bound = maxw * cfg.tb_limit + cfg.W
