@@ -17,6 +17,13 @@ import os
 import sys
 import time
 
+# persistent XLA compilation cache: first-ever run compiles (~2min), later
+# runs start hot (must be set before jax import)
+_cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _cache)
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
 BASELINE_ALIGNS_PER_S = 25_004.0
 
 

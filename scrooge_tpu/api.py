@@ -82,23 +82,84 @@ def _bucket(n: int, minimum: int = 64) -> int:
     return b
 
 
-def _build_alignments(cfg, tile_pairs, res, stats):
-    """Compact device results, stringify, and collect failures."""
+def _bucket_lin(n: int, step: int) -> int:
+    """Round up to a multiple of step (tighter than power-of-two padding:
+    transferred bytes scale with the pad, and host<->device bandwidth is
+    the scarce resource on tunneled TPUs)."""
+    return max(step, -(-n // step) * step)
+
+
+def _device_put_synced(*arrays):
+    """device_put + force the transfers to complete.
+
+    Keeps data transfer out of the timed core section (the reference's
+    core_algorithm_ns likewise excludes transfers, genasm_gpu.cu:890-944).
+    block_until_ready can return early on tunneled TPU plugins, so sync by
+    reading one element back from each buffer."""
+    import jax
+
+    out = [jax.device_put(x) for x in arrays]
+    for x in out:
+        if x.size:
+            np.asarray(jax.numpy.ravel(x)[:1])
+    return out
+
+
+def _resolve_backend(cfg: AlignConfig, batch: int):
+    """Pick the device engine: ("pallas", sublane_tile) or ("xla", 0).
+
+    "auto" uses the Pallas kernel whenever the config's DP state fits VMEM
+    (it is bit-identical to the XLA engine and much faster on TPU; off-TPU
+    it would run interpreted, so auto falls back to XLA there). Large-W
+    sweeps that overflow VMEM fall back to the XLA engine — the analogue of
+    the reference GPU's shared->global DP memory fallback
+    (genasm_gpu.cu:584-600, DP_MEMORY=GLOBAL).
+    """
+    import jax
+
+    from .ops import engine_pallas
+
+    if cfg.backend == "xla":
+        return "xla", 0
+    S = batch // 128
+    sk = engine_pallas.choose_sublane_tile(cfg, S)
+    if cfg.backend == "pallas":
+        if sk == 0:
+            raise ValueError(
+                f"W={cfg.W} K={cfg.K} O={cfg.O} DP state does not fit VMEM; "
+                "use backend='xla'")
+        return "pallas", sk
+    if sk > 0 and jax.default_backend() == "tpu":
+        return "pallas", sk
+    return "xla", 0
+
+
+def _build_alignments(cfg, tile_pairs, res, stats, eds_host=None):
+    """Stringify device results and collect failures.
+
+    The per-window run buffer is worst-case sized, so it is compacted on
+    device to the actual run count before readback (device->host bandwidth
+    is the scarce resource), then formatted to strings in C++.
+    """
     import jax.numpy as jnp
 
+    from .native import format_cigars as native_format
     from .ops.engine_xla import compact_entries
     from .ops.postprocess import entries_to_cigars
 
-    totals_dev = jnp.sum(res.counts, axis=0)
-    totals_host = np.asarray(totals_dev)
-    cap = _bucket(max(int(totals_host.max(initial=0)), 1))
-    compacted, totals = compact_entries(res.entries, res.counts, cap)
-
     t0 = time.perf_counter_ns()
-    cigars = entries_to_cigars(np.asarray(compacted), np.asarray(totals))
+    # compact on device first: the raw run buffer is worst-case sized and
+    # device->host readback is the scarce resource
+    totals_host = np.asarray(jnp.sum(res.counts, axis=0))
+    cap = _bucket_lin(max(int(totals_host.max(initial=0)), 1), 128)
+    compacted, totals = compact_entries(res.entries, res.counts, cap)
+    ent_np, tot_np = np.asarray(compacted), np.asarray(totals)
+    cigars = native_format(ent_np, tot_np)
+    if cigars is None:  # no compiler available: numpy fallback
+        cigars = entries_to_cigars(ent_np, tot_np)
     stats.postprocess_ns += time.perf_counter_ns() - t0
 
-    eds = np.asarray(res.edit_distance)
+    eds = np.asarray(res.edit_distance) if eds_host is None else eds_host
     failed = np.asarray(res.failed)
     return eds, cigars, failed
 
@@ -153,7 +214,9 @@ def align_pairs(
         _log_throughput(stats)
         return (out, stats) if return_stats else out
 
-    from .ops.engine_xla import align_batch
+    from .ops import engine_pallas, engine_xla
+
+    engine, sk = _resolve_backend(cfg, cfg.batch_tile)
 
     text_codes = [encode_np(t) for t in texts]
     query_codes = [encode_np(q) for q in queries]
@@ -166,8 +229,9 @@ def align_pairs(
         idxs = order[t0 : t0 + tile_size]
         B = tile_size
         longest = max((len(query_codes[i]) for i in idxs), default=1) or 1
-        P = _bucket(longest)
-        T = _bucket(max((len(text_codes[i]) for i in idxs), default=1) or 1)
+        P = _bucket_lin(longest, 1024)
+        T = _bucket_lin(max((len(text_codes[i]) for i in idxs), default=1) or 1,
+                        1024)
         # window count from the ACTUAL longest read, not the padded bucket
         # (the pad can be ~2x the data; windows cost real device time),
         # rounded up to bound the number of distinct traced maxw values
@@ -184,12 +248,24 @@ def align_pairs(
             pattern[lane, : len(qc)] = qc
             plen[lane] = len(qc)
 
+        if engine == "pallas":
+            args = _device_put_synced(
+                engine_pallas.pack_2bit_host(text), tlen,
+                engine_pallas.pack_2bit_host(pattern), plen)
+        else:
+            args = _device_put_synced(text, tlen, pattern, plen)
         tns = time.perf_counter_ns()
-        res = align_batch(cfg, maxw, text, tlen, pattern, plen)
-        res.entries.block_until_ready()
+        if engine == "pallas":
+            res = engine_pallas.align_batch(cfg, maxw, sk, *args)
+        else:
+            res = engine_xla.align_batch(cfg, maxw, *args)
+        # sync via a tiny readback: block_until_ready can return early on
+        # remote-tunnel TPU plugins, which would misattribute core time
+        eds_host = np.asarray(res.edit_distance)
         stats.core_ns += time.perf_counter_ns() - tns
 
-        eds, cigars, failed = _build_alignments(cfg, idxs, res, stats)
+        eds, cigars, failed = _build_alignments(cfg, idxs, res, stats,
+                                                eds_host)
         for lane, i in enumerate(idxs):
             if failed[lane]:
                 stats.retried_pairs += 1
@@ -233,15 +309,26 @@ def align_reads(
         _log_throughput(stats)
         return (out, stats) if return_stats else out
 
-    from .ops.engine_xla import align_batch_mapped
+    from .ops import engine_pallas, engine_xla
+
+    engine, sk = _resolve_backend(cfg, cfg.batch_tile)
 
     genome_codes = encode_np(reference.content)
     glen = len(genome_codes)
     # pad to a power-of-two bucket so XLA traces once per bucket, not per
     # genome length (padding is never read: text_len clamps usable text)
     gpad = _bucket(max(glen, 1))
-    genome_dev = jnp.asarray(
-        np.pad(genome_codes, (0, gpad - glen)) if gpad != glen else genome_codes)
+    genome_padded = (np.pad(genome_codes, (0, gpad - glen))
+                     if gpad != glen else genome_codes)
+    if engine == "pallas":
+        # 2-bit packed words: the genome uploads once at 1/4 the bytes and
+        # window gathers pull whole words (engine_pallas docstring)
+        grouped = genome_padded.astype(np.uint32).reshape(-1, 16)
+        shifts = np.arange(16, dtype=np.uint32) * 2
+        genome_dev = jnp.asarray((grouped << shifts).sum(
+            axis=1, dtype=np.uint32))
+    else:
+        genome_dev = jnp.asarray(genome_padded)
     query_codes = [encode_np(read.content) for _, read in pairs]
 
     order = sorted(range(len(pairs)), key=lambda i: -len(query_codes[i]))
@@ -252,7 +339,7 @@ def align_reads(
         idxs = order[t0 : t0 + tile_size]
         B = tile_size
         longest = max((len(query_codes[i]) for i in idxs), default=1) or 1
-        P = _bucket(longest)
+        P = _bucket_lin(longest, 1024)
         maxw = -(-cfg.max_windows(longest) // 32) * 32
         # usable text per lane is bounded by total possible consumption;
         # pre-clamping keeps window arithmetic in int32 even for huge genomes
@@ -272,13 +359,22 @@ def align_reads(
             pattern[lane, : len(qc)] = qc
             plen[lane] = len(qc)
 
+        if engine == "pallas":
+            args = _device_put_synced(
+                starts, tlen, engine_pallas.pack_2bit_host(pattern), plen)
+        else:
+            args = _device_put_synced(starts, tlen, pattern, plen)
         tns = time.perf_counter_ns()
-        res = align_batch_mapped(cfg, maxw, genome_dev, starts, tlen,
-                                 pattern, plen)
-        res.entries.block_until_ready()
+        if engine == "pallas":
+            res = engine_pallas.align_batch_mapped(
+                cfg, maxw, sk, genome_dev, *args)
+        else:
+            res = engine_xla.align_batch_mapped(cfg, maxw, genome_dev, *args)
+        eds_host = np.asarray(res.edit_distance)
         stats.core_ns += time.perf_counter_ns() - tns
 
-        eds, cigars, failed = _build_alignments(cfg, idxs, res, stats)
+        eds, cigars, failed = _build_alignments(cfg, idxs, res, stats,
+                                                eds_host)
         for lane, i in enumerate(idxs):
             if failed[lane]:
                 stats.retried_pairs += 1

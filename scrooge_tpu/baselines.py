@@ -1,0 +1,99 @@
+"""Built-in baseline aligners for accuracy comparison.
+
+The reference vendors third-party baselines (edlib, ksw2, WFA — ~22k LoC,
+baseline_algorithms/) and compares GenASM accuracy/throughput against them
+(cpu_baseline.cpp:727-875). This module provides first-party equivalents of
+the comparison role those baselines play: an EXACT semiglobal edit-distance
+aligner with traceback (the accuracy gold standard edlib fills in the
+reference, EDLIB_MODE_SHW, cpu_baseline.cpp:355), as vectorized numpy
+row-DP. Affine-gap rescoring for score comparisons lives in cigar.py /
+native.affine_scores.
+
+If the `edlib` PyPI package is installed it can be used to cross-check
+(optional; tests skip otherwise).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+
+def _fill_rows(t: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Full DP table D[i, j] = min edits aligning query[:i] to text[:j]."""
+    n, m = len(t), len(q)
+    D = np.zeros((m + 1, n + 1), np.int32)
+    D[0, :] = np.arange(n + 1)
+    D[:, 0] = np.arange(m + 1)
+    jj = np.arange(n + 1, dtype=np.int32)
+    for i in range(1, m + 1):
+        sub = D[i - 1, :-1] + (t != q[i - 1])
+        ins = D[i - 1, 1:] + 1
+        v = np.minimum(sub, ins)  # j = 1..n, before deletions
+        # deletions: cur[j] = min_{k<=j} a[k] + (j-k) with a[0]=i, a[j]=v[j]
+        a = np.concatenate(([np.int32(i)], v))
+        p = np.minimum.accumulate(a - jj)
+        D[i] = p + jj
+    return D
+
+
+def exact_semiglobal(text: str, query: str) -> Tuple[int, str]:
+    """Exact semiglobal alignment: whole query vs a prefix of text.
+
+    Semantics match GenASM's target function (README.md:79): the entire
+    query must be consumed; the alignment starts at text[0] and may end
+    anywhere (min over text prefixes of the Levenshtein distance).
+    Returns (edit_distance, extended CIGAR with '=XID' runs).
+    """
+    n, m = len(text), len(query)
+    if m == 0:
+        return 0, ""
+    if n == 0:
+        return m, f"{m}I"
+    t = np.frombuffer(text.encode(), np.uint8)
+    q = np.frombuffer(query.encode(), np.uint8)
+    D = _fill_rows(t, q)
+
+    end = int(np.argmin(D[m]))
+    ed = int(D[m, end])
+
+    runs = []
+
+    def emit(op):
+        if runs and runs[-1][1] == op:
+            runs[-1][0] += 1
+        else:
+            runs.append([1, op])
+
+    i, j = m, end
+    while i > 0 or j > 0:
+        if (i > 0 and j > 0
+                and D[i, j] == D[i - 1, j - 1] + (t[j - 1] != q[i - 1])):
+            emit("=" if t[j - 1] == q[i - 1] else "X")
+            i, j = i - 1, j - 1
+        elif i > 0 and D[i, j] == D[i - 1, j] + 1:
+            emit("I")
+            i -= 1
+        else:
+            emit("D")
+            j -= 1
+    return ed, "".join(f"{c}{op}" for c, op in reversed(runs))
+
+
+def semiglobal_distance(text: str, query: str) -> int:
+    """Edit distance only, two-row memory."""
+    n, m = len(text), len(query)
+    if m == 0:
+        return 0
+    if n == 0:
+        return m
+    t = np.frombuffer(text.encode(), np.uint8)
+    q = np.frombuffer(query.encode(), np.uint8)
+    jj = np.arange(n + 1, dtype=np.int32)
+    prev = jj.copy()
+    for i in range(1, m + 1):
+        v = np.minimum(prev[:-1] + (t != q[i - 1]), prev[1:] + 1)
+        a = np.concatenate(([np.int32(i)], v))
+        prev = np.minimum.accumulate(a - jj) + jj
+    return int(prev.min())

@@ -110,10 +110,14 @@ def _window_step(cfg: AlignConfig, gather_text, tlen, pattern, plen, carry):
     lane_ones = bv.ones_shifted(s, W)
 
     # ---- window gathers (once per window) ----
+    # flat 1-D takes: take_along_axis on wide padded 2-D operands lowers to
+    # a pathologically slow TPU gather; flat jnp.take compiles fast
     wiota = jnp.arange(W, dtype=jnp.int32)
     wtext = gather_text(ref_idx)  # (B, W) int32
-    pidx = jnp.clip(read_idx.reshape(B, 1) + wiota[None, :], 0, pattern.shape[1] - 1)
-    wpat = jnp.take_along_axis(pattern, pidx, axis=1).astype(jnp.int32)
+    P = pattern.shape[1]
+    poff = jnp.minimum(read_idx.reshape(B, 1) + wiota[None, :], P - 1)
+    pbase = (jnp.arange(B, dtype=jnp.int32) * P).reshape(B, 1)
+    wpat = jnp.take(pattern.reshape(B * P), pbase + poff).astype(jnp.int32)
 
     # ---- pattern bitmasks (genasm_cpu.cpp:178-198, MSB-aligned) ----
     # bit b of word w (global bit gb = 32w+off) corresponds to pattern
@@ -363,10 +367,12 @@ def align_batch(cfg: AlignConfig, max_windows: int,
     B, T = text.shape
     W = cfg.W
     wiota = jnp.arange(W, dtype=jnp.int32)
+    tflat = text.reshape(B * T)
+    tbase = (jnp.arange(B, dtype=jnp.int32) * T).reshape(B, 1)
 
     def gather_text(ref_idx):
-        tidx = jnp.clip(ref_idx.reshape(B, 1) + wiota[None, :], 0, T - 1)
-        return jnp.take_along_axis(text, tidx, axis=1).astype(jnp.int32)
+        toff = jnp.minimum(ref_idx.reshape(B, 1) + wiota[None, :], T - 1)
+        return jnp.take(tflat, tbase + toff).astype(jnp.int32)
 
     return _align_scan(cfg, max_windows, gather_text,
                        text_len, pattern, pattern_len)
@@ -409,23 +415,35 @@ def compact_entries(entries, counts, cap: int):
 
     entries: (MAXW, NE, B) uint16, counts: (MAXW, B) int32. Output slot g of
     lane b holds the g-th CIGAR run of that pair; slots >= total are 0.
+
+    Implementation note: a lane-last binary search over the window-count
+    prefix sums (log2(MAXW) take_along_axis rounds) instead of a vmapped
+    searchsorted — the vmap form forces a lane-major transpose of the whole
+    entries buffer, which dominates everything else. Compacting on device
+    also shrinks the device->host readback ~30x (the run buffer is
+    worst-case sized; actual runs are few).
     """
     maxw, ne, b = entries.shape
     cum = jnp.cumsum(counts, axis=0)  # inclusive, (MAXW, B)
     totals = cum[-1]
 
-    g = jnp.arange(cap, dtype=jnp.int32)
-
-    def per_lane(cum_lane, ent_lane):
-        # cum_lane: (MAXW,), ent_lane: (MAXW*NE,)
-        w = jnp.searchsorted(cum_lane, g, side="right")
-        w = jnp.minimum(w, maxw - 1)
-        prev = jnp.where(w > 0, cum_lane[jnp.maximum(w - 1, 0)], 0)
-        e = g - prev
-        src = w * ne + jnp.clip(e, 0, ne - 1)
-        return ent_lane[src]
-
-    out = jax.vmap(per_lane, in_axes=(1, 1), out_axes=1)(
-        cum, entries.reshape(maxw * ne, b))
-    valid = g[:, None] < totals[None, :]
+    g = jnp.arange(cap, dtype=jnp.int32)[:, None]  # (cap, 1)
+    # w = searchsorted(cum[:, b], g, side="right") per lane
+    lo = jnp.zeros((cap, b), jnp.int32)
+    hi = jnp.full((cap, b), maxw, jnp.int32)
+    steps = max(1, maxw.bit_length())
+    for _ in range(steps):
+        mid = (lo + hi) >> 1
+        cmid = jnp.take_along_axis(cum, jnp.minimum(mid, maxw - 1), axis=0)
+        go_right = cmid <= g
+        lo = jnp.where(go_right, mid + 1, lo)
+        hi = jnp.where(go_right, hi, mid)
+    w = jnp.minimum(lo, maxw - 1)
+    prev = jnp.where(w > 0,
+                     jnp.take_along_axis(cum, jnp.maximum(w - 1, 0), axis=0),
+                     0)
+    e = g - prev
+    src = w * ne + jnp.clip(e, 0, ne - 1)
+    out = jnp.take_along_axis(entries.reshape(maxw * ne, b), src, axis=0)
+    valid = g < totals[None, :]
     return jnp.where(valid, out, 0).astype(jnp.uint16), totals

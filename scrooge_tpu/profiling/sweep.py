@@ -1,0 +1,235 @@
+"""Parameter-sweep driver (scripts/profile.py analogue).
+
+The reference RECOMPILES its C++/CUDA binaries per configuration point
+(-DCLI_W=.. etc, profile.py:28-33) and regex-scrapes stdout. Here the knobs
+are runtime parameters of a single Python process: changing a knob re-jits
+(XLA retrace) instead of re-running make, and throughput comes from
+AlignStats directly. CSV schemas match the reference's so its plotting
+conventions carry over:
+
+  throughput sweeps -> ["W", "O", "SENE", "DENT", "early termination",
+                        "threads", "aligns/second"]   (profile.py:82)
+  accuracy sweeps   -> ["W", "O", "pair_idx", "score"(, "cigar", "read",
+                        "reference")]                  (profile.py:610)
+
+The "threads" column carries the batch tile (lanes) — the TPU analogue of
+the CPU thread count / GPU thread-block count axis.
+
+Usage:
+  python -m scrooge_tpu.profiling.sweep device <dataset>   # throughput
+  python -m scrooge_tpu.profiling.sweep xla <dataset>      # XLA engine
+  python -m scrooge_tpu.profiling.sweep accuracy <dataset> [--cigar]
+  <dataset> is a subdirectory of --datasets_dir with reference.fasta,
+  reads.fastq, candidates.[maf|paf] (profile.py:650 contract), or
+  'simulated[:reads[:length]]' for the built-in PBSIM2-style generator.
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import os
+import sys
+from datetime import datetime
+from itertools import product
+from pathlib import Path
+from typing import List, Optional
+
+from .. import api
+from ..baselines import exact_semiglobal
+from ..cigar import affine_score
+from ..config import AlignConfig
+
+
+def csv_write(path, rows, header):
+    os.makedirs(os.path.dirname(str(path)) or ".", exist_ok=True)
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(header)
+        w.writerows(rows)
+
+
+def _load(dataset: str, datasets_dir: Path):
+    if dataset.startswith("simulated"):
+        from ..utils.simulate import simulate_dataset
+
+        parts = dataset.split(":")
+        num = int(parts[1]) if len(parts) > 1 else 512
+        rlen = int(parts[2]) if len(parts) > 2 else 10_000
+        ds = simulate_dataset(genome_len=1_000_000, num_reads=num,
+                              read_len=rlen, accuracy=0.95, seed=11)
+        return ds.genome, ds.reads
+    from .. import io as sio
+
+    return sio.load_dataset(datasets_dir / dataset)
+
+
+def _run_throughput(genome, reads, cfg: AlignConfig, data: List,
+                    threads_col: int):
+    try:
+        _, stats = api.align_reads(genome, reads, cfg, return_stats=True)
+    except Exception as e:  # config failed: record nothing, keep sweeping
+        print(f"config failed ({e})", file=sys.stderr)
+        return
+    data.append([cfg.W, cfg.O, cfg.store_entries_not_edges,
+                 cfg.discard_entries_not_used_by_traceback,
+                 cfg.early_termination, threads_col,
+                 stats.aligns_per_second])
+
+
+THROUGHPUT_HEADER = ["W", "O", "SENE", "DENT", "early termination",
+                     "threads", "aligns/second"]
+
+
+def sweep_wo(genome, reads, backend: str, out: Path, max_experiments: int,
+             repetitions: int, batch: int):
+    """W sweep with O = min(W//2+1, W-1) (profile.py:65-82). The SENE/DENT
+    toggles are output-invariant memory-layout knobs exercised for schema
+    parity; ET is a real performance toggle."""
+    max_W = 256
+    gran = max(16, max_W // max(1, max_experiments))
+    Ws = [w for w in range(gran, max_W + 1, gran)]
+    data: List = []
+    configs = [(w, et) for w, et in product(Ws, [False, True])]
+    for idx, (W, et) in enumerate(configs):
+        print(f"[{datetime.now()}] sweep_wo {idx}/{len(configs)}",
+              file=sys.stderr)
+        O = min(W // 2 + 1, W - 1)
+        cfg = AlignConfig(W=W, K=W, O=O, early_termination=et,
+                          backend=backend, batch_tile=batch)
+        for _ in range(repetitions):
+            _run_throughput(genome, reads, cfg, data, batch)
+    csv_write(out, data, THROUGHPUT_HEADER)
+
+
+def sweep_o(genome, reads, backend: str, out: Path, max_experiments: int,
+            repetitions: int, batch: int, W: int = 64):
+    gran = max(4, W // max(1, max_experiments))
+    Os = [o for o in range(gran - 1, W, gran) if 0 <= o < W]
+    data: List = []
+    for idx, (O, et) in enumerate(product(Os, [False, True])):
+        print(f"[{datetime.now()}] sweep_o {idx}", file=sys.stderr)
+        cfg = AlignConfig(W=W, K=W, O=O, early_termination=et,
+                          backend=backend, batch_tile=batch)
+        for _ in range(repetitions):
+            _run_throughput(genome, reads, cfg, data, batch)
+    csv_write(out, data, THROUGHPUT_HEADER)
+
+
+def sweep_batch(genome, reads, backend: str, out: Path, max_experiments: int,
+                repetitions: int, W: int = 64):
+    """Batch-tile sweep — the analogue of the reference's thread sweep
+    (profile.py:104-122) / GPU thread-block sweep (profile.py:177-248)."""
+    tiles = [1024, 2048, 4096, 8192][: max(1, max_experiments)]
+    data: List = []
+    O = W // 2 + 1
+    for idx, tile in enumerate(tiles):
+        print(f"[{datetime.now()}] sweep_batch {idx}/{len(tiles)}",
+              file=sys.stderr)
+        cfg = AlignConfig(W=W, K=W, O=O, backend=backend, batch_tile=tile)
+        for _ in range(repetitions):
+            _run_throughput(genome, reads, cfg, data, tile)
+    csv_write(out, data, THROUGHPUT_HEADER)
+
+
+def accuracy_sweep(genome, reads, out: Path, max_experiments: int,
+                   cigar: bool, backend: str, batch: int):
+    """Per-pair affine scores across W (profile.py:588-610): dumps
+    pair_idx/score(/cigar) rows, plus the exact-aligner rows as the
+    'edlib' accuracy gold standard (algorithm column in all_accuracy,
+    cpu_baseline.cpp:784-875)."""
+    scoring = dict(match=2, mismatch=4, gap_open=4, gap_extend=2)
+    max_W = 256
+    gran = max(32, max_W // max(1, max_experiments))
+    Ws = list(range(gran, max_W + 1, gran))
+    data: List = []
+    for idx, W in enumerate(Ws):
+        print(f"[{datetime.now()}] accuracy_sweep {idx}/{len(Ws)}",
+              file=sys.stderr)
+        O = min(W // 2 + 1, W - 1)
+        cfg = AlignConfig(W=W, K=W, O=O, backend=backend, batch_tile=batch)
+        try:
+            alns = api.align_reads(genome, reads, cfg)
+        except Exception as e:
+            print(f"config failed ({e})", file=sys.stderr)
+            continue
+        pair_idx = 0
+        for read in reads:
+            for loc in read.locations:
+                a = alns[pair_idx]
+                score = affine_score(a.cigar, **scoring)
+                row = [W, O, pair_idx, score]
+                if cigar:
+                    row += [a.cigar, read.content,
+                            genome.content[loc.start_in_reference:
+                                           loc.start_in_reference
+                                           + len(read.content) * 2]]
+                data.append(row)
+                pair_idx += 1
+    header = ["W", "O", "pair_idx", "score"] + (
+        ["cigar", "read", "reference"] if cigar else [])
+    csv_write(out, data, header)
+
+
+def exact_accuracy(genome, reads, out: Path, cigar: bool):
+    """Exact-aligner per-pair scores — the baseline column of the accuracy
+    comparison (the reference's edlib rows)."""
+    scoring = dict(match=2, mismatch=4, gap_open=4, gap_extend=2)
+    data: List = []
+    pair_idx = 0
+    for read in reads:
+        for loc in read.locations:
+            start = loc.start_in_reference
+            text = genome.content[start : start + 2 * len(read.content) + 64]
+            _, cg = exact_semiglobal(text, read.content)
+            score = affine_score(cg, **scoring)
+            row = ["exact", pair_idx, score] + ([cg] if cigar else [])
+            data.append(row)
+            pair_idx += 1
+    header = ["algorithm", "pair_idx", "score"] + (["cigar"] if cigar else [])
+    csv_write(out, data, header)
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    p = argparse.ArgumentParser(
+        description="Sweep device/XLA throughput or accuracy over configs")
+    p.add_argument("target", choices=["device", "xla", "accuracy"])
+    p.add_argument("dataset", type=str,
+                   help="datasets_dir subdirectory or 'simulated[:N[:len]]'")
+    p.add_argument("--datasets_dir", type=Path, default=Path("datasets"))
+    p.add_argument("--profile_dir", type=Path, default=Path("profile"))
+    p.add_argument("--max_experiments", type=int, default=8)
+    p.add_argument("--repetitions", type=int, default=1)
+    p.add_argument("--override_W", type=int, default=None)
+    p.add_argument("--batch_tile", type=int, default=2048)
+    p.add_argument("--cigar", action="store_true")
+    args = p.parse_args(argv)
+
+    genome, reads = _load(args.dataset, args.datasets_dir)
+    name = args.dataset.replace(":", "_")
+    out = args.profile_dir
+    backend = "auto" if args.target == "device" else "xla"
+    W = args.override_W or 64
+
+    if args.target in ("device", "xla"):
+        tag = args.target
+        sweep_wo(genome, reads, backend, out / f"{name}_{tag}_sweep_WO.csv",
+                 args.max_experiments, args.repetitions, args.batch_tile)
+        sweep_o(genome, reads, backend, out / f"{name}_{tag}_sweep_O.csv",
+                args.max_experiments, args.repetitions, args.batch_tile, W)
+        sweep_batch(genome, reads, backend,
+                    out / f"{name}_{tag}_sweep_batch.csv",
+                    args.max_experiments, args.repetitions, W)
+    else:
+        cig = "_cigar" if args.cigar else ""
+        accuracy_sweep(genome, reads,
+                       out / f"{name}_accuracy_sweep_wo{cig}.csv",
+                       args.max_experiments, args.cigar, "auto",
+                       args.batch_tile)
+        exact_accuracy(genome, reads,
+                       out / f"{name}_exact_accuracy{cig}.csv", args.cigar)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,107 @@
+"""Pallas engine parity tests.
+
+The fused VMEM kernel must be bit-identical to the XLA engine (and hence
+the scalar oracle / reference semantics). On TPU this exercises the real
+Mosaic kernel; elsewhere it runs in Pallas interpreter mode — same code,
+same outputs, slower, so the cases here stay small.
+"""
+
+import random
+
+import numpy as np
+import pytest
+
+import scrooge_tpu
+from scrooge_tpu import AlignConfig
+from scrooge_tpu import pyref
+from scrooge_tpu.config import AlignConfig as _AC
+from scrooge_tpu.ops import engine_pallas, engine_xla
+
+PL_CFG = AlignConfig(backend="pallas", batch_tile=128)
+
+
+def _random_cases(seed, count, max_len=180):
+    rng = random.Random(seed)
+    cases = []
+    while len(cases) < count:
+        n = rng.randint(1, max_len)
+        t = "".join(rng.choice("ACGT") for _ in range(n))
+        q = []
+        for c in t:
+            r = rng.random()
+            if r < 0.03:
+                continue
+            if r < 0.06:
+                q.append(rng.choice("ACGT"))
+            q.append(c)
+        q = "".join(q)
+        if q:
+            cases.append((t, q))
+    return cases
+
+
+def test_pallas_engine_matches_xla_engine_raw():
+    """Raw engine-to-engine equality on every output array."""
+    cfg = _AC(W=32, K=32, O=17)
+    B = 128
+    rng = np.random.default_rng(5)
+    T, P = 64, 48
+    text = rng.integers(0, 4, (B, T), dtype=np.uint8)
+    pattern = np.where(
+        rng.random((B, P)) < 0.1,
+        rng.integers(0, 4, (B, P), dtype=np.uint8),
+        text[:, :P]).astype(np.uint8)
+    tlen = rng.integers(1, T + 1, B).astype(np.int32)
+    plen = rng.integers(0, P + 1, B).astype(np.int32)
+    maxw = cfg.max_windows(P)
+
+    rp = engine_pallas.align_batch(
+        cfg, maxw, 1,
+        engine_pallas.pack_2bit_host(text), tlen,
+        engine_pallas.pack_2bit_host(pattern), plen)
+    rx = engine_xla.align_batch(cfg, maxw, text, tlen, pattern, plen)
+    np.testing.assert_array_equal(np.asarray(rp.edit_distance),
+                                  np.asarray(rx.edit_distance))
+    np.testing.assert_array_equal(np.asarray(rp.failed), np.asarray(rx.failed))
+    np.testing.assert_array_equal(np.asarray(rp.counts), np.asarray(rx.counts))
+    np.testing.assert_array_equal(np.asarray(rp.entries),
+                                  np.asarray(rx.entries))
+
+
+def test_pallas_api_matches_oracle():
+    cases = _random_cases(17, 32)
+    cases.append(("ACGT" * 40, ""))  # empty read lane
+    cases.append(("ACGT", "ACGTACGT" * 6))  # text exhausted
+    texts = [t for t, _ in cases]
+    queries = [q for _, q in cases]
+    got = scrooge_tpu.align_all(texts, queries, config=PL_CFG)
+    for (t, q), a in zip(cases, got):
+        ed, cigar = pyref.align_pair(t, q, AlignConfig())
+        assert a.edit_distance == ed
+        assert a.cigar == cigar
+
+
+@pytest.mark.parametrize("wko", [(16, 16, 9), (64, 64, 33)])
+def test_pallas_other_configs(wko):
+    W, K, O = wko
+    cfg = AlignConfig(W=W, K=K, O=O, backend="pallas", batch_tile=128)
+    cases = _random_cases(29, 12, max_len=120)
+    texts = [t for t, _ in cases]
+    queries = [q for _, q in cases]
+    got = scrooge_tpu.align_all(texts, queries, config=cfg)
+    ref_cfg = AlignConfig(W=W, K=K, O=O)
+    for (t, q), a in zip(cases, got):
+        ed, cigar = pyref.align_pair(t, q, ref_cfg)
+        assert a.edit_distance == ed
+        assert a.cigar == cigar
+
+
+def test_pallas_vmem_fallback_resolution():
+    from scrooge_tpu.api import _resolve_backend
+
+    big = _AC(W=256, K=256, O=129)
+    assert not engine_pallas.fits_vmem(big)
+    engine, _ = _resolve_backend(big, 1024)
+    assert engine == "xla"
+    with pytest.raises(ValueError, match="does not fit VMEM"):
+        _resolve_backend(_AC(W=256, K=256, O=129, backend="pallas"), 1024)
