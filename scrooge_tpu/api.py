@@ -256,7 +256,8 @@ def align_pairs(
             args = _device_put_synced(text, tlen, pattern, plen)
         tns = time.perf_counter_ns()
         if engine == "pallas":
-            res = engine_pallas.align_batch(cfg, maxw, sk, *args)
+            res = engine_pallas.align_batch(
+                cfg, maxw, sk, engine_pallas.DEFAULT_KW, *args)
         else:
             res = engine_xla.align_batch(cfg, maxw, *args)
         # sync via a tiny readback: block_until_ready can return early on
@@ -367,7 +368,7 @@ def align_reads(
         tns = time.perf_counter_ns()
         if engine == "pallas":
             res = engine_pallas.align_batch_mapped(
-                cfg, maxw, sk, genome_dev, *args)
+                cfg, maxw, sk, engine_pallas.DEFAULT_KW, genome_dev, *args)
         else:
             res = engine_xla.align_batch_mapped(cfg, maxw, genome_dev, *args)
         eds_host = np.asarray(res.edit_distance)

@@ -2,8 +2,9 @@
 
 Same windowed-alignment semantics as engine_xla (and therefore the scalar
 oracle and the reference C++, genasm_cpu.cpp:210-438) with the hot per-
-window work — pattern-bitmask build, GenASM DP fill, and traceback with
-CIGAR run emission — fused into ONE Pallas kernel per window so the R
+window work — pattern-bitmask build, GenASM DP fill, traceback with CIGAR
+run emission, and the window-to-window carry update — fused into ONE Pallas
+kernel that processes KW consecutive windows per invocation, so the R
 traceback table lives entirely in VMEM and never touches HBM. This is the
 TPU analogue of the reference GPU's shared-memory DP storage
 (genasm_gpu.cu:584-600, DP_MEMORY=SHARED), with lane-tile batching standing
@@ -14,20 +15,23 @@ TPU-first design decisions (deliberately NOT the GPU mapping):
    so the fill runs the CPU-style sequential (d, i) loops with every lane
    advancing in lockstep; cross-lane communication is zero.
  - sequences are 2-bit packed, 16 bases/uint32 word (the reference packs
-   4 bases/byte, genasm_gpu.cu:162-189). Window extraction gathers ~W/16+1
-   WORDS per lane instead of W bytes: XLA TPU gathers cost ~8ns/element
-   regardless of width, so word gathers are ~13x cheaper than byte gathers
-   — this is the difference between glue-bound and compute-bound.
+   4 bases/byte, genasm_gpu.cu:162-189), and the outer scan gathers one
+   SLAB of (KW-1)*TB + W chars per KW windows: XLA TPU gathers cost
+   ~8ns/element regardless of width, so slab word-gathers cost ~25x less
+   than per-window byte gathers — the difference between glue-bound and
+   compute-bound. Window extraction from the slab happens in-kernel at
+   2-bit offsets (windows advance data-dependently by the traceback's
+   consumed counts, which only the kernel knows).
  - early termination is batched per lane-tile: the d-loop is a while_loop
    that stops once every lane in the tile has found its window distance.
  - traceback is a lockstep d-level sweep reading R rows from VMEM; the
    CIGAR-run flush is predicated on any-lane-flushing, which removes ~90%
    of its VMEM traffic at realistic error rates.
 
-The kernel grid runs over lane tiles of the batch; windows advance in an
-outer XLA lax.scan (word gathers + carry updates stay in XLA). Outputs are
-bit-identical to engine_xla — tests/test_engine_pallas.py enforces it — so
-either engine can back the public API.
+The kernel grid runs over lane tiles of the batch; slabs advance in an
+outer XLA lax.scan. Outputs are bit-identical to engine_xla —
+tests/test_engine_pallas.py enforces it — so either engine can back the
+public API.
 """
 
 from __future__ import annotations
@@ -55,14 +59,21 @@ from .engine_xla import (
 
 LANE = 128
 CHARS_PER_WORD = 16  # 2-bit codes per uint32
+DEFAULT_KW = 8  # windows fused per kernel invocation
 
 
-def num_window_words(W: int) -> int:
-    """uint32 words covering W chars at an arbitrary 2-bit offset."""
-    return W // CHARS_PER_WORD + 1
+def slab_chars(cfg: AlignConfig, kw: int) -> int:
+    """Chars a KW-window slab must cover: each window consumes at most
+    tb_limit text/pattern chars before the next starts."""
+    return (kw - 1) * cfg.tb_limit + cfg.W
 
 
-def kernel_vmem_bytes(cfg: AlignConfig, sk: int) -> int:
+def slab_words(cfg: AlignConfig, kw: int) -> int:
+    """uint32 words covering a slab at an arbitrary 2-bit start offset."""
+    return -(-slab_chars(cfg, kw) // CHARS_PER_WORD) + 1
+
+
+def kernel_vmem_bytes(cfg: AlignConfig, sk: int, kw: int = DEFAULT_KW) -> int:
     """Approximate VMEM footprint of the window kernel for sublane tile sk."""
     lane_b = sk * LANE * 4
     r = cfg.rows * cfg.columns * cfg.num_tb_words * lane_b
@@ -70,12 +81,13 @@ def kernel_vmem_bytes(cfg: AlignConfig, sk: int) -> int:
     pmi = cfg.W * cfg.num_words * lane_b
     upat = cfg.W * lane_b
     pmc = 4 * cfg.num_words * lane_b
-    ent = (2 * max(cfg.tb_limit, 1) + 2) * lane_b
-    io = 2 * num_window_words(cfg.W) * lane_b + 10 * lane_b
+    ne = 2 * max(cfg.tb_limit, 1) + 2
+    ent = (kw + 1) * ne * lane_b
+    io = 2 * slab_words(cfg, kw) * lane_b + 16 * lane_b
     return r + ff + pmi + upat + pmc + ent + 2 * io
 
 
-VMEM_BUDGET = 11 << 20  # leaves headroom for Mosaic temporaries
+VMEM_BUDGET = 28 << 20  # v5e has headroom beyond this; keep margin
 
 
 def choose_sublane_tile(cfg: AlignConfig, S: int,
@@ -83,13 +95,17 @@ def choose_sublane_tile(cfg: AlignConfig, S: int,
     """Sublane tile for a batch of S sublane groups (S a power of two).
 
     Mosaic block constraint: the sublane block dim must be a multiple of 8
-    or equal to the full dimension, so the only valid choices here are
-    min(8, S) (S is a power of two). Returns 0 if that doesn't fit VMEM.
+    or equal to the full dimension. sk=16 measures fastest at the default
+    config; fall back toward min(8, S) under the VMEM budget.
     """
+    for sk in (16, 8):
+        if sk <= S and S % sk == 0 and \
+                kernel_vmem_bytes(cfg, sk) <= budget_bytes:
+            return sk
     sk = min(8, S)
-    if S % sk != 0:
-        return 0
-    return sk if kernel_vmem_bytes(cfg, sk) <= budget_bytes else 0
+    if S % sk == 0 and kernel_vmem_bytes(cfg, sk) <= budget_bytes:
+        return sk
+    return 0
 
 
 def fits_vmem(cfg: AlignConfig, budget_bytes: int = VMEM_BUDGET) -> bool:
@@ -166,303 +182,339 @@ def _unpack_char(words, bit, nwd):
     return ((word.astype(jnp.int32) >> sh) & 3).astype(jnp.int32)
 
 
-def _window_kernel(cfg: AlignConfig,
-                   twords_ref, toff_ref, pwords_ref, poff_ref, m_ref, n_ref,
-                   wed_ref, found_ref, icons_ref, jcons_ref,
-                   entries_ref, nfl_ref,
-                   R_ref, ff_ref, pmi_ref, upat_ref):
+def _multi_window_kernel(cfg: AlignConfig, kw: int,
+                         twords_ref, toff_ref, pwords_ref, poff_ref,
+                         tlen_ref, plen_ref,
+                         ref_in, read_in, ed_in, done_in, failed_in,
+                         ref_out, read_out, ed_out, done_out, failed_out,
+                         entries_ref, nfl_ref,
+                         R_ref, ff_ref, pmi_ref, upat_ref, ent_ref):
+    """KW consecutive alignment windows for one lane tile, carry included.
+
+    Window semantics: genasm_cpu.cpp:210-438 (fill, traceback, windowing).
+    """
     W, K, O = cfg.W, cfg.K, cfg.O
     NW, FTW = cfg.num_words, cfg.first_tb_word
     NWH = cfg.num_tb_words
     COLS, TB = cfg.columns, cfg.tb_limit
-    NWD = num_window_words(W)
+    NWD = slab_words(cfg, kw)
     NE = 2 * max(TB, 1) + 2
-    sk = m_ref.shape[0]
+    sk = tlen_ref.shape[0]
     lane = (sk, LANE)
     top_bit_off = (W - 1) % 32
 
-    m = m_ref[...]
-    n = n_ref[...]
-    s = W - m
-    lane_ones = _ones_shifted_u32(s, W, NW)
-
-    # ---- unpack the pattern window from packed words into upat ----
-    pwords = [pwords_ref[wdi] for wdi in range(NWD)]
-    poff = poff_ref[...]
-    for j in range(W):
-        upat_ref[j] = _unpack_char(pwords, poff + 2 * j, NWD)
-
-    # ---- pattern bitmasks (genasm_cpu.cpp:178-198, MSB-aligned) ----
-    # global bit gb (word gb//32, offset gb%32) holds pattern position
-    # j = W-1-gb, valid iff gb >= s. Build per-char masks, then per-text-
-    # position PM rows into the pmi scratch.
-    pmc = [[None] * NW for _ in range(4)]
-    for c in range(4):
-        for w in range(NW):
-            acc = jnp.zeros(lane, jnp.uint32)
-            bits_here = min(32, W - 32 * w)
-            for b in range(bits_here):
-                gb = 32 * w + b
-                pos = upat_ref[W - 1 - gb]  # pattern char at j = W-1-gb
-                match = (pos == c) & (gb >= s)
-                acc = acc | (match.astype(jnp.uint32) << b)
-            pmc[c][w] = (~acc) & lane_ones[w]
-
+    tlen = tlen_ref[...]
+    plen = plen_ref[...]
     twords = [twords_ref[wdi] for wdi in range(NWD)]
-    toff = toff_ref[...]
+    pwords = [pwords_ref[wdi] for wdi in range(NWD)]
+    toff0 = toff_ref[...]
+    poff0 = poff_ref[...]
 
-    def pm_body(i, _):
-        t = _unpack_char(twords, toff + 2 * i, NWD)
-        for w in range(NW):
-            word = pmc[0][w]
-            for c in range(1, 4):
-                word = jnp.where(t == c, pmc[c][w], word)
-            pmi_ref[i, w] = word
-        return 0
+    ref_idx = ref_in[...]
+    read_idx = read_in[...]
+    ed = ed_in[...]
+    done = done_in[...]  # int32 masks
+    failed = failed_in[...]
+    ref0 = ref_idx
+    read0 = read_idx
 
-    lax.fori_loop(0, W, pm_body, 0)
-
-    # ---- DP fill (genasm_cpu.cpp:210-288) ----
-    def d_body(st):
-        d, found, wed = st
-        ones_d = _ones_shifted_u32(s + d, W, NW)
-        is_zero = d == 0
-
-        def i_body(step, carry):
-            i = W - step
-            right, topright = carry  # tuples of NW uint32 words
-            top = [ff_ref[i, w] for w in range(NW)]
-            ip = jnp.minimum(i, W - 1)
-            cur_pm = [pmi_ref[ip, w] for w in range(NW)]
-            is_start = i >= n
-            sh_r = _shl1_u32(right, W)
-            sh_tr = _shl1_u32(topright, W)
-            sh_t = _shl1_u32(top, W)
-            center = []
-            for w in range(NW):
-                mat = sh_r[w] | cur_pm[w]
-                full = mat & sh_tr[w] & sh_t[w] & topright[w]
-                nonstart = jnp.where(is_zero, mat, full)
-                cw = jnp.where(is_start, ones_d[w], nonstart)
-                center.append(cw)
-                ff_ref[i, w] = cw
-            # stored entry: traceback words only; i >= COLS lands on slot
-            # COLS-1 and is overwritten later as i descends
-            ic = jnp.minimum(i, COLS - 1)
-            for w in range(NWH):
-                R_ref[d, ic, w] = center[FTW + w]
-            return tuple(center), tuple(top)
-
-        z = tuple(jnp.zeros(lane, jnp.uint32) for _ in range(NW))
-        center, _ = lax.fori_loop(0, W + 1, i_body, (z, z))
-
-        hit = ((center[NW - 1] >> top_bit_off) & 1) == 0
-        newly = hit & (found == 0)
-        wed = jnp.where(newly, d, wed)
-        found = jnp.where(newly, 1, found)
-        return d + 1, found, wed
-
-    def d_cond(st):
-        d, found, _ = st
-        in_range = d <= K
-        if cfg.early_termination:
-            return in_range & ~jnp.all(found != 0)
-        return in_range
-
-    found0 = jnp.zeros(lane, jnp.int32)
-    wed0 = jnp.zeros(lane, jnp.int32)
-    _, found, wed = lax.while_loop(d_cond, d_body, (jnp.int32(0), found0, wed0))
-    found = found != 0
-    wed = jnp.where(found, wed, 0)
-
-    # ---- traceback (genasm_cpu.cpp:290-409), lockstep d-level sweep ----
     def flush(nfl, op, cnt, do_flush):
-        """Append packed (op, cnt) at per-lane slot nfl where do_flush.
-
-        The (NE, sk, 128) read-modify-write only runs when some lane
-        actually flushes — with realistic error rates op changes are rare,
-        so this predication removes ~90% of the traceback's VMEM traffic.
-        """
+        """Append packed (op, cnt) at per-lane slot nfl where do_flush;
+        the (NE, sk, 128) RMW only runs when some lane flushes."""
         @pl.when(jnp.any(do_flush))
         def _():
             packed = (op << ENTRY_OP_SHIFT) | cnt
             slot = lax.broadcasted_iota(jnp.int32, (NE,) + lane, 0)
             mask = (slot == nfl[None]) & do_flush[None]
-            entries_ref[...] = jnp.where(mask, packed[None], entries_ref[...])
+            ent_ref[...] = jnp.where(mask, packed[None], ent_ref[...])
 
         return nfl + do_flush.astype(jnp.int32)
 
-    entries_ref[...] = jnp.zeros((NE,) + lane, jnp.int32)
+    for k in range(kw):
+        m = jnp.where(done != 0, 0, jnp.clip(plen - read_idx, 0, W))
+        n = jnp.where(done != 0, 0, jnp.clip(tlen - ref_idx, 0, W))
+        s = W - m
+        lane_ones = _ones_shifted_u32(s, W, NW)
+        toff = toff0 + 2 * (ref_idx - ref0)
+        poff = poff0 + 2 * (read_idx - read0)
 
-    def level_body(st):
-        lvl, i, j, dd, fin, cur_op, cur_cnt, nfl = st
+        # ---- unpack the pattern window from the slab into upat ----
+        for j in range(W):
+            upat_ref[j] = _unpack_char(pwords, poff + 2 * j, NWD)
 
-        def sub_cond(sst):
-            _, _, dd_, fin_, _, _, _, safety = sst
-            active = (fin_ == 0) & (dd_ == lvl)
-            return jnp.any(active) & (safety < TB + 2)
-
-        def sub_body(sst):
-            i_, j_, dd_, fin_, cur_op_, cur_cnt_, nfl_, safety = sst
-            active = (fin_ == 0) & (dd_ == lvl)
-            term = active & ((j_ >= m) | (i_ >= TB) | (j_ >= TB))
-            fin_ = jnp.where(term, 1, fin_)
-            act = active & ~term
-
-            # one sweep over the columns selects the row-(lvl-1) entry
-            # words at per-lane columns i (A) and i+1 (B)
-            selA = [jnp.zeros(lane, jnp.uint32) for _ in range(NWH)]
-            selB = [jnp.zeros(lane, jnp.uint32) for _ in range(NWH)]
-            ip1 = i_ + 1
-            for c in range(COLS):
-                eqA = i_ == c
-                eqB = ip1 == c
-                for w in range(NWH):
-                    word = R_ref[lvl - 1, c, w]
-                    selA[w] = jnp.where(eqA, word, selA[w])
-                    selB[w] = jnp.where(eqB, word, selB[w])
-
-            def bit_zero(sel, gbit):
-                """Bit `gbit` (per-lane int32) of the selected words == 0."""
-                word_idx = gbit >> 5
-                off = gbit & 31
+        # ---- pattern bitmasks (genasm_cpu.cpp:178-198, MSB-aligned):
+        # global bit gb holds pattern position j = W-1-gb, valid iff
+        # gb >= s ----
+        pmc = [[None] * NW for _ in range(4)]
+        for c in range(4):
+            for w in range(NW):
                 acc = jnp.zeros(lane, jnp.uint32)
+                bits_here = min(32, W - 32 * w)
+                for b in range(bits_here):
+                    gb = 32 * w + b
+                    pos = upat_ref[W - 1 - gb]
+                    match = (pos == c) & (gb >= s)
+                    acc = acc | (match.astype(jnp.uint32) << b)
+                pmc[c][w] = (~acc) & lane_ones[w]
+
+        def pm_body(i, _):
+            t = _unpack_char(twords, toff + 2 * i, NWD)
+            for w in range(NW):
+                word = pmc[0][w]
+                for c in range(1, 4):
+                    word = jnp.where(t == c, pmc[c][w], word)
+                pmi_ref[i, w] = word
+            return 0
+
+        lax.fori_loop(0, W, pm_body, 0)
+
+        # ---- DP fill (genasm_cpu.cpp:210-288) ----
+        def d_body(st):
+            d, found, wed = st
+            ones_d = _ones_shifted_u32(s + d, W, NW)
+            is_zero = d == 0
+
+            def i_body(step, carry):
+                i = W - step
+                right, topright = carry  # tuples of NW uint32 words
+                top = [ff_ref[i, w] for w in range(NW)]
+                ip = jnp.minimum(i, W - 1)
+                cur_pm = [pmi_ref[ip, w] for w in range(NW)]
+                is_start = i >= n
+                sh_r = _shl1_u32(right, W)
+                sh_tr = _shl1_u32(topright, W)
+                sh_t = _shl1_u32(top, W)
+                center = []
+                for w in range(NW):
+                    mat = sh_r[w] | cur_pm[w]
+                    full = mat & sh_tr[w] & sh_t[w] & topright[w]
+                    nonstart = jnp.where(is_zero, mat, full)
+                    cw = jnp.where(is_start, ones_d[w], nonstart)
+                    center.append(cw)
+                    ff_ref[i, w] = cw
+                # stored entry: traceback words only; i >= COLS lands on
+                # slot COLS-1 and is overwritten later as i descends
+                ic = jnp.minimum(i, COLS - 1)
                 for w in range(NWH):
-                    v = (sel[w].astype(jnp.int32) >> off).astype(jnp.uint32)
-                    acc = acc | jnp.where(word_idx == (w + FTW),
-                                          v & jnp.uint32(1), jnp.uint32(0))
-                return acc == 0
+                    R_ref[d, ic, w] = center[FTW + w]
+                return tuple(center), tuple(top)
 
-            jlast = j_ == (m - 1)
-            i_limit = i_ >= n
-            bj1 = W - 1 - (j_ + 1)
-            zA_j1 = bit_zero(selA, bj1)
-            zB_j = bit_zero(selB, W - 1 - j_)
-            zB_j1 = bit_zero(selB, bj1)
-            # boolean algebra instead of where(mask, literal, arr): Mosaic
-            # cannot lower the i8->i1 truncation the literal form produces
-            can_ins = jlast | zA_j1
-            can_del = ~jlast & ~i_limit & zB_j
-            can_sub = ~i_limit & (jlast | zB_j1)
+            z = tuple(jnp.zeros(lane, jnp.uint32) for _ in range(NW))
+            center, _ = lax.fori_loop(0, W + 1, i_body, (z, z))
 
-            op = jnp.where(
-                can_ins, OP_I,
-                jnp.where(can_del, OP_D, jnp.where(can_sub, OP_X, OP_EQ)))
-            takes_i = (op == OP_D) | (op == OP_X) | (op == OP_EQ)
-            takes_j = (op == OP_I) | (op == OP_X) | (op == OP_EQ)
-            is_edit = op != OP_EQ
+            hit = ((center[NW - 1] >> top_bit_off) & 1) == 0
+            newly = hit & (found == 0)
+            wed = jnp.where(newly, d, wed)
+            found = jnp.where(newly, 1, found)
+            return d + 1, found, wed
 
-            changed = act & (op != cur_op_)
-            do_flush = changed & (cur_cnt_ > 0)
-            nfl_ = flush(nfl_, cur_op_, cur_cnt_, do_flush)
-            cur_op_ = jnp.where(changed, op, cur_op_)
-            cur_cnt_ = jnp.where(act, jnp.where(changed, 1, cur_cnt_ + 1),
-                                 cur_cnt_)
-            i_ = i_ + jnp.where(act & takes_i, 1, 0)
-            j_ = j_ + jnp.where(act & takes_j, 1, 0)
-            dd_ = dd_ - jnp.where(act & is_edit, 1, 0)
-            return i_, j_, dd_, fin_, cur_op_, cur_cnt_, nfl_, safety + 1
+        def d_cond(st):
+            d, found, _ = st
+            in_range = d <= K
+            if cfg.early_termination:
+                return in_range & ~jnp.all(found != 0)
+            return in_range
 
-        i, j, dd, fin, cur_op, cur_cnt, nfl, _ = lax.while_loop(
-            sub_cond, sub_body,
-            (i, j, dd, fin, cur_op, cur_cnt, nfl, jnp.int32(0)))
-        return lvl - 1, i, j, dd, fin, cur_op, cur_cnt, nfl
+        found0 = jnp.zeros(lane, jnp.int32)
+        wed0 = jnp.zeros(lane, jnp.int32)
+        _, found_i, wed = lax.while_loop(
+            d_cond, d_body, (jnp.int32(0), found0, wed0))
+        found = found_i != 0
+        wed = jnp.where(found, wed, 0)
 
-    i0 = jnp.zeros(lane, jnp.int32)
-    j0 = jnp.zeros(lane, jnp.int32)
-    fin0 = (j0 >= m).astype(jnp.int32)
-    nfl0 = jnp.zeros(lane, jnp.int32)
-    cur_op0 = jnp.full(lane, OP_NONE, jnp.int32)
-    cur_cnt0 = jnp.zeros(lane, jnp.int32)
-    max_d = jnp.max(wed)
-    _, i, j, dd, fin, cur_op, cur_cnt, nfl = lax.while_loop(
-        lambda st: st[0] >= 1, level_body,
-        (max_d, i0, j0, wed, fin0, cur_op0, cur_cnt0, nfl0))
+        # ---- traceback (genasm_cpu.cpp:290-409), lockstep d-level sweep
+        ent_ref[...] = jnp.zeros((NE,) + lane, jnp.int32)
 
-    # final d==0 phase: closed-form '=' run (check-before-step)
-    active0 = (fin == 0) & (dd == 0)
-    run = jnp.minimum(jnp.minimum(m - j, TB - i), TB - j)
-    run = jnp.where(active0, jnp.maximum(run, 0), 0)
-    has_run = run > 0
-    same = has_run & (cur_op == OP_EQ) & (cur_cnt > 0)
-    do_flush = has_run & ~same & (cur_cnt > 0)
-    nfl = flush(nfl, cur_op, cur_cnt, do_flush)
-    cur_cnt = jnp.where(has_run, jnp.where(same, cur_cnt + run, run), cur_cnt)
-    cur_op = jnp.where(has_run, OP_EQ, cur_op)
-    i = i + run
-    j = j + run
+        def level_body(st):
+            lvl, i, j, dd, fin, cur_op, cur_cnt, nfl = st
 
-    # trailing flush (genasm_cpu.cpp:400-403)
-    nfl = flush(nfl, cur_op, cur_cnt, cur_cnt > 0)
+            def sub_cond(sst):
+                _, _, dd_, fin_, _, _, _, safety = sst
+                active = (fin_ == 0) & (dd_ == lvl)
+                return jnp.any(active) & (safety < TB + 2)
 
-    wed_ref[...] = wed
-    found_ref[...] = found.astype(jnp.int32)
-    icons_ref[...] = i
-    jcons_ref[...] = j
-    nfl_ref[...] = nfl
+            def sub_body(sst):
+                i_, j_, dd_, fin_, cur_op_, cur_cnt_, nfl_, safety = sst
+                active = (fin_ == 0) & (dd_ == lvl)
+                term = active & ((j_ >= m) | (i_ >= TB) | (j_ >= TB))
+                fin_ = jnp.where(term, 1, fin_)
+                act = active & ~term
+
+                # one sweep over the columns selects the row-(lvl-1)
+                # entry words at per-lane columns i (A) and i+1 (B)
+                selA = [jnp.zeros(lane, jnp.uint32) for _ in range(NWH)]
+                selB = [jnp.zeros(lane, jnp.uint32) for _ in range(NWH)]
+                ip1 = i_ + 1
+                for c in range(COLS):
+                    eqA = i_ == c
+                    eqB = ip1 == c
+                    for w in range(NWH):
+                        word = R_ref[lvl - 1, c, w]
+                        selA[w] = jnp.where(eqA, word, selA[w])
+                        selB[w] = jnp.where(eqB, word, selB[w])
+
+                def bit_zero(sel, gbit):
+                    word_idx = gbit >> 5
+                    off = gbit & 31
+                    acc = jnp.zeros(lane, jnp.uint32)
+                    for w in range(NWH):
+                        v = (sel[w].astype(jnp.int32) >> off
+                             ).astype(jnp.uint32)
+                        acc = acc | jnp.where(word_idx == (w + FTW),
+                                              v & jnp.uint32(1),
+                                              jnp.uint32(0))
+                    return acc == 0
+
+                jlast = j_ == (m - 1)
+                i_limit = i_ >= n
+                bj1 = W - 1 - (j_ + 1)
+                zA_j1 = bit_zero(selA, bj1)
+                zB_j = bit_zero(selB, W - 1 - j_)
+                zB_j1 = bit_zero(selB, bj1)
+                # boolean algebra instead of where(mask, literal, arr):
+                # Mosaic cannot lower the i8->i1 truncation that produces
+                can_ins = jlast | zA_j1
+                can_del = ~jlast & ~i_limit & zB_j
+                can_sub = ~i_limit & (jlast | zB_j1)
+
+                op = jnp.where(
+                    can_ins, OP_I,
+                    jnp.where(can_del, OP_D,
+                              jnp.where(can_sub, OP_X, OP_EQ)))
+                takes_i = (op == OP_D) | (op == OP_X) | (op == OP_EQ)
+                takes_j = (op == OP_I) | (op == OP_X) | (op == OP_EQ)
+                is_edit = op != OP_EQ
+
+                changed = act & (op != cur_op_)
+                do_flush = changed & (cur_cnt_ > 0)
+                nfl_ = flush(nfl_, cur_op_, cur_cnt_, do_flush)
+                cur_op_ = jnp.where(changed, op, cur_op_)
+                cur_cnt_ = jnp.where(act,
+                                     jnp.where(changed, 1, cur_cnt_ + 1),
+                                     cur_cnt_)
+                i_ = i_ + jnp.where(act & takes_i, 1, 0)
+                j_ = j_ + jnp.where(act & takes_j, 1, 0)
+                dd_ = dd_ - jnp.where(act & is_edit, 1, 0)
+                return i_, j_, dd_, fin_, cur_op_, cur_cnt_, nfl_, safety + 1
+
+            i, j, dd, fin, cur_op, cur_cnt, nfl, _ = lax.while_loop(
+                sub_cond, sub_body,
+                (i, j, dd, fin, cur_op, cur_cnt, nfl, jnp.int32(0)))
+            return lvl - 1, i, j, dd, fin, cur_op, cur_cnt, nfl
+
+        i0 = jnp.zeros(lane, jnp.int32)
+        j0 = jnp.zeros(lane, jnp.int32)
+        fin0 = (j0 >= m).astype(jnp.int32)
+        nfl0 = jnp.zeros(lane, jnp.int32)
+        cur_op0 = jnp.full(lane, OP_NONE, jnp.int32)
+        cur_cnt0 = jnp.zeros(lane, jnp.int32)
+        max_d = jnp.max(wed)
+        _, i, j, dd, fin, cur_op, cur_cnt, nfl = lax.while_loop(
+            lambda st: st[0] >= 1, level_body,
+            (max_d, i0, j0, wed, fin0, cur_op0, cur_cnt0, nfl0))
+
+        # final d==0 phase: closed-form '=' run (check-before-step)
+        active0 = (fin == 0) & (dd == 0)
+        run = jnp.minimum(jnp.minimum(m - j, TB - i), TB - j)
+        run = jnp.where(active0, jnp.maximum(run, 0), 0)
+        has_run = run > 0
+        same = has_run & (cur_op == OP_EQ) & (cur_cnt > 0)
+        do_flush = has_run & ~same & (cur_cnt > 0)
+        nfl = flush(nfl, cur_op, cur_cnt, do_flush)
+        cur_cnt = jnp.where(has_run,
+                            jnp.where(same, cur_cnt + run, run), cur_cnt)
+        cur_op = jnp.where(has_run, OP_EQ, cur_op)
+        i = i + run
+        j = j + run
+
+        # trailing flush (genasm_cpu.cpp:400-403)
+        nfl = flush(nfl, cur_op, cur_cnt, cur_cnt > 0)
+
+        # each emitted edit op decremented dd by exactly one, so the edits
+        # actually used by the kept traceback prefix are wed - dd
+        edits_used = wed - dd
+
+        # ---- carry update (genasm_cpu.cpp:432-435) ----
+        active = done == 0
+        window_failed = active & ~found
+        stalled = active & found & (i == 0) & (j == 0)
+        new_failed = (failed != 0) | window_failed | stalled
+        take = active & ~new_failed
+        ed = ed + jnp.where(take, edits_used, 0)
+        ref_idx = ref_idx + jnp.where(take, i, 0)
+        read_idx = read_idx + jnp.where(take, j, 0)
+        done = ((read_idx >= plen) | new_failed).astype(jnp.int32)
+        failed = new_failed.astype(jnp.int32)
+
+        entries_ref[k * NE : (k + 1) * NE] = ent_ref[...]
+        nfl_ref[k] = jnp.where(take, nfl, 0)
+
+    ref_out[...] = ref_idx
+    read_out[...] = read_idx
+    ed_out[...] = ed
+    done_out[...] = done
+    failed_out[...] = failed
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1))
-def window_step_kernel(cfg: AlignConfig, sk: int,
-                       twords, toff, pwords, poff, m, n):
-    """Run the fused window kernel over the batch.
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def slab_step_kernel(cfg: AlignConfig, kw: int, sk: int,
+                     twords, toff, pwords, poff, tlen, plen,
+                     ref_idx, read_idx, ed, done, failed):
+    """Run the fused KW-window kernel over the batch.
 
-    twords/pwords: (NWD, S, 128) uint32 packed window words; toff/poff:
-    (S, 128) int32 starting bit offsets; m/n: (S, 128) int32.
-    Returns (wed, found, icons, jcons, entries(NE,S,128) int32, nfl).
+    twords/pwords: (NWD, S, 128) uint32 packed slab words; toff/poff:
+    (S, 128) int32 slab-start bit offsets; the remaining args are the
+    (S, 128) int32 windowing carry. Returns the updated carry plus
+    entries (KW*NE, S, 128) int32 and per-window run counts (KW, S, 128).
     """
     W = cfg.W
-    NW, NWH = cfg.num_words, cfg.num_tb_words
-    NWD = num_window_words(W)
+    NWD = slab_words(cfg, kw)
     NE = 2 * max(cfg.tb_limit, 1) + 2
-    S = m.shape[0]
+    S = tlen.shape[0]
     assert S % sk == 0, (S, sk)
     grid = (S // sk,)
 
-    def im3(t):  # (NWD, S, 128) blocked over sublane tiles
+    def im3(t):
         return (0, t, 0)
 
-    def im2(t):  # (S, 128)
+    def im2(t):
         return (t, 0)
 
-    def ime(t):  # (NE, S, 128)
+    def ime(t):
         return (0, t, 0)
 
+    lane2 = pl.BlockSpec((sk, LANE), im2, memory_space=pltpu.VMEM)
+    slab3 = pl.BlockSpec((NWD, sk, LANE), im3, memory_space=pltpu.VMEM)
+
     out_shape = [
-        jax.ShapeDtypeStruct((S, LANE), jnp.int32),  # wed
-        jax.ShapeDtypeStruct((S, LANE), jnp.int32),  # found
-        jax.ShapeDtypeStruct((S, LANE), jnp.int32),  # icons
-        jax.ShapeDtypeStruct((S, LANE), jnp.int32),  # jcons
-        jax.ShapeDtypeStruct((NE, S, LANE), jnp.int32),  # entries
-        jax.ShapeDtypeStruct((S, LANE), jnp.int32),  # nfl
+        jax.ShapeDtypeStruct((S, LANE), jnp.int32),  # ref_idx
+        jax.ShapeDtypeStruct((S, LANE), jnp.int32),  # read_idx
+        jax.ShapeDtypeStruct((S, LANE), jnp.int32),  # ed
+        jax.ShapeDtypeStruct((S, LANE), jnp.int32),  # done
+        jax.ShapeDtypeStruct((S, LANE), jnp.int32),  # failed
+        jax.ShapeDtypeStruct((kw * NE, S, LANE), jnp.int32),  # entries
+        jax.ShapeDtypeStruct((kw, S, LANE), jnp.int32),  # nfl per window
     ]
     out_specs = [
-        pl.BlockSpec((sk, LANE), im2, memory_space=pltpu.VMEM),
-        pl.BlockSpec((sk, LANE), im2, memory_space=pltpu.VMEM),
-        pl.BlockSpec((sk, LANE), im2, memory_space=pltpu.VMEM),
-        pl.BlockSpec((sk, LANE), im2, memory_space=pltpu.VMEM),
-        pl.BlockSpec((NE, sk, LANE), ime, memory_space=pltpu.VMEM),
-        pl.BlockSpec((sk, LANE), im2, memory_space=pltpu.VMEM),
+        lane2, lane2, lane2, lane2, lane2,
+        pl.BlockSpec((kw * NE, sk, LANE), ime, memory_space=pltpu.VMEM),
+        pl.BlockSpec((kw, sk, LANE), ime, memory_space=pltpu.VMEM),
     ]
-    in_specs = [
-        pl.BlockSpec((NWD, sk, LANE), im3, memory_space=pltpu.VMEM),
-        pl.BlockSpec((sk, LANE), im2, memory_space=pltpu.VMEM),
-        pl.BlockSpec((NWD, sk, LANE), im3, memory_space=pltpu.VMEM),
-        pl.BlockSpec((sk, LANE), im2, memory_space=pltpu.VMEM),
-        pl.BlockSpec((sk, LANE), im2, memory_space=pltpu.VMEM),
-        pl.BlockSpec((sk, LANE), im2, memory_space=pltpu.VMEM),
-    ]
+    in_specs = [slab3, lane2, slab3, lane2, lane2, lane2,
+                lane2, lane2, lane2, lane2, lane2]
     scratch_shapes = [
-        pltpu.VMEM((cfg.rows, cfg.columns, NWH, sk, LANE), jnp.uint32),  # R
-        pltpu.VMEM((W + 1, NW, sk, LANE), jnp.uint32),  # forefront
-        pltpu.VMEM((W, NW, sk, LANE), jnp.uint32),  # pmi
+        pltpu.VMEM((cfg.rows, cfg.columns, cfg.num_tb_words, sk, LANE),
+                   jnp.uint32),  # R
+        pltpu.VMEM((W + 1, cfg.num_words, sk, LANE), jnp.uint32),  # forefront
+        pltpu.VMEM((W, cfg.num_words, sk, LANE), jnp.uint32),  # pmi
         pltpu.VMEM((W, sk, LANE), jnp.int32),  # unpacked pattern chars
+        pltpu.VMEM((NE, sk, LANE), jnp.int32),  # per-window entry scratch
     ]
     # off-TPU (tests, virtual CPU meshes) the kernel runs in interpreter
     # mode: slow but bit-identical, so parity tests cover the same code
     interpret = jax.default_backend() != "tpu"
     return pl.pallas_call(
-        functools.partial(_window_kernel, cfg),
+        functools.partial(_multi_window_kernel, cfg, kw),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
@@ -472,16 +524,17 @@ def window_step_kernel(cfg: AlignConfig, sk: int,
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(twords, toff, pwords, poff, m, n)
+    )(twords, toff, pwords, poff, tlen, plen,
+      ref_idx, read_idx, ed, done, failed)
 
 
-def _align_scan(cfg: AlignConfig, sk: int, max_windows: int,
+def _align_scan(cfg: AlignConfig, sk: int, kw: int, max_windows: int,
                 gather_text_words, pwords_all, text_len, pattern_len
                 ) -> BatchResult:
-    """Windowed scan over the batch.
+    """Slab scan over the batch: ceil(max_windows/kw) kernel invocations.
 
     gather_text_words(ref_idx (S,128) int32) -> ((B, NWD) uint32 words,
-    (B,) int32 bit offsets) for the text window of each lane.
+    (B,) int32 bit offsets) for the text slab of each lane.
     pwords_all: (B, Pw) uint32 pack_2bit words of the patterns.
     """
     B = pwords_all.shape[0]
@@ -491,9 +544,9 @@ def _align_scan(cfg: AlignConfig, sk: int, max_windows: int,
     lane = (S, LANE)
     tlen = text_len.astype(jnp.int32).reshape(lane)
     plen = pattern_len.astype(jnp.int32).reshape(lane)
-    W = cfg.W
-    NWD = num_window_words(W)
+    NWD = slab_words(cfg, kw)
     NE = 2 * max(cfg.tb_limit, 1) + 2
+    n_steps = -(-max_windows // kw)
 
     Pw = pwords_all.shape[1]
     pwflat = pwords_all.reshape(B * Pw)
@@ -504,14 +557,12 @@ def _align_scan(cfg: AlignConfig, sk: int, max_windows: int,
         jnp.zeros(lane, jnp.int32),  # ref_idx
         jnp.zeros(lane, jnp.int32),  # read_idx
         jnp.zeros(lane, jnp.int32),  # edit distance
-        plen <= 0,  # done
-        jnp.zeros(lane, bool),  # failed
+        (plen <= 0).astype(jnp.int32),  # done
+        jnp.zeros(lane, jnp.int32),  # failed
     )
 
     def scan_body(carry, _):
         ref_idx, read_idx, ed, done, failed = carry
-        m = jnp.where(done, 0, jnp.clip(plen - read_idx, 0, W))
-        n = jnp.where(done, 0, jnp.clip(tlen - ref_idx, 0, W))
 
         twords, toff = gather_text_words(ref_idx)  # (B, NWD), (B,)
         rb = read_idx.reshape(B)
@@ -523,61 +574,40 @@ def _align_scan(cfg: AlignConfig, sk: int, max_windows: int,
 
         twords_t = twords.reshape(S, LANE, NWD).transpose(2, 0, 1)
         pwords_t = pwords.reshape(S, LANE, NWD).transpose(2, 0, 1)
-        toff_t = toff.reshape(lane)
-        poff_t = poff.reshape(lane)
 
-        wed, found_i, icons, jcons, entries_i, nfl = window_step_kernel(
-            cfg, sk, twords_t, toff_t, pwords_t, poff_t, m, n)
-        found = found_i != 0
+        (ref_idx, read_idx, ed, done, failed, entries_i, nfl
+         ) = slab_step_kernel(
+            cfg, kw, sk, twords_t, toff.reshape(lane), pwords_t,
+            poff.reshape(lane), tlen, plen,
+            ref_idx, read_idx, ed, done, failed)
+
         entries = entries_i.astype(jnp.uint16)
-
-        # edits used by the kept traceback prefix == total count of non-'='
-        # runs emitted this window (each edit op decrements dd by exactly 1,
-        # so this equals wed - dd_final)
-        ops = entries_i >> ENTRY_OP_SHIFT
-        cnts = entries_i & ((1 << ENTRY_OP_SHIFT) - 1)
-        slot = lax.broadcasted_iota(jnp.int32, entries_i.shape, 0)
-        valid = slot < nfl[None]
-        is_edit = valid & (ops != OP_EQ)
-        edits_used = jnp.sum(jnp.where(is_edit, cnts, 0), axis=0)
-
-        # carry update (genasm_cpu.cpp:432-435)
-        active = ~done
-        window_failed = active & ~found
-        stalled = active & found & (icons == 0) & (jcons == 0)
-        new_failed = failed | window_failed | stalled
-        ed = ed + jnp.where(active & ~new_failed, edits_used, 0)
-        ref_idx = ref_idx + jnp.where(active & ~new_failed, icons, 0)
-        read_idx = read_idx + jnp.where(active & ~new_failed, jcons, 0)
-        new_done = (read_idx >= plen) | new_failed
-
-        nfl = jnp.where(active & ~new_failed, nfl, 0)
-        new_carry = (ref_idx, read_idx, ed, new_done, new_failed)
-        return new_carry, (entries.reshape(NE, B), nfl.reshape(B))
+        new_carry = (ref_idx, read_idx, ed, done, failed)
+        return new_carry, (entries.reshape(kw, NE, B), nfl.reshape(kw, B))
 
     carry, (entries, counts) = lax.scan(
-        scan_body, carry0, None, length=max_windows)
+        scan_body, carry0, None, length=n_steps)
 
     _, read_idx, ed, done, failed = carry
-    failed = failed | (read_idx < plen)
+    failed = (failed != 0) | (read_idx < plen)
 
     return BatchResult(
         edit_distance=ed.reshape(B),
         failed=failed.reshape(B),
-        entries=entries,
-        counts=counts.astype(jnp.int32),
+        entries=entries.reshape(n_steps * kw, NE, B),
+        counts=counts.reshape(n_steps * kw, B).astype(jnp.int32),
     )
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2))
-def align_batch(cfg: AlignConfig, max_windows: int, sk: int,
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def align_batch(cfg: AlignConfig, max_windows: int, sk: int, kw: int,
                 text_words, text_len, pattern_words,
                 pattern_len) -> BatchResult:
     """Pallas-engine unstructured batch alignment. text_words /
     pattern_words: (B, ceil(T/16)) / (B, ceil(P/16)) uint32 pack_2bit
     words (pack on host with pack_2bit_host)."""
     B, Tw = text_words.shape
-    NWD = num_window_words(cfg.W)
+    NWD = slab_words(cfg, kw)
     twflat = text_words.reshape(B * Tw)
     trow = (jnp.arange(B, dtype=jnp.int32) * Tw).reshape(B, 1)
     nwd_iota = jnp.arange(NWD, dtype=jnp.int32)
@@ -589,12 +619,12 @@ def align_batch(cfg: AlignConfig, max_windows: int, sk: int,
         words = jnp.take(twflat, idx)
         return words, ((rb & 15) * 2).astype(jnp.int32)
 
-    return _align_scan(cfg, sk, max_windows, gather_text_words,
+    return _align_scan(cfg, sk, kw, max_windows, gather_text_words,
                        pattern_words, text_len, pattern_len)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2))
-def align_batch_mapped(cfg: AlignConfig, max_windows: int, sk: int,
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def align_batch_mapped(cfg: AlignConfig, max_windows: int, sk: int, kw: int,
                        genome_words, starts, text_len,
                        pattern_words, pattern_len) -> BatchResult:
     """Pallas-engine read-mapping alignment: one shared 2-bit-packed genome
@@ -604,7 +634,7 @@ def align_batch_mapped(cfg: AlignConfig, max_windows: int, sk: int,
     pattern_words: (B, ceil(P/16)) uint32 pack_2bit words."""
     B = pattern_words.shape[0]
     Gw = genome_words.shape[0]
-    NWD = num_window_words(cfg.W)
+    NWD = slab_words(cfg, kw)
     starts_u = starts.astype(jnp.uint32)
     nwd_iota = jnp.arange(NWD, dtype=jnp.int32)
 
@@ -616,5 +646,5 @@ def align_batch_mapped(cfg: AlignConfig, max_windows: int, sk: int,
         toff = ((gchar & 15) * 2).astype(jnp.int32)
         return words, toff
 
-    return _align_scan(cfg, sk, max_windows, gather_text_words,
+    return _align_scan(cfg, sk, kw, max_windows, gather_text_words,
                        pattern_words, text_len, pattern_len)

