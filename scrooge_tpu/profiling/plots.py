@@ -1,0 +1,190 @@
+"""Figure generation from sweep CSVs (scripts/plot.py analogue).
+
+The reference's plot.py (3014 LoC) renders the paper figures from
+profile.py CSVs. This module covers the same figure families against this
+framework's CSV schemas (profiling/sweep.py, profiling/model.py):
+
+  throughput  — aligns/s vs W (and vs O, vs batch tile), ET on/off series
+                (plot.py throughput-vs-threads/W/O family)
+  accuracy    — per-pair affine-score distributions, device vs the exact
+                baseline (plot.py:2724-2952 score-distribution family)
+  roofline    — measured aligns/s against the analytical TPU kernel model
+                across W (plot.py:2338-2580 roofline family, retargeted
+                from A6000/Xeon to the v5e VPU)
+  asic        — area/power vs O for the four SENE/DENT layouts
+                (plot.py:2611-2723 family, from model.py sweep output)
+
+All figures are optional conveniences: matplotlib is imported lazily so
+the core library never depends on it.
+
+CLI: python -m scrooge_tpu.profiling.plots <kind> --csv=... [--out=fig.png]
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import sys
+from collections import defaultdict
+from typing import Dict, List
+
+
+def _read_csv(path: str) -> List[Dict[str, str]]:
+    with open(path) as f:
+        return list(csv.DictReader(f))
+
+
+def _bool(s: str) -> bool:
+    return s in ("True", "true", "1")
+
+
+def plot_throughput(csv_path: str, out: str, x_axis: str = "W"):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    rows = _read_csv(csv_path)
+    series: Dict[bool, Dict[float, float]] = defaultdict(dict)
+    for r in rows:
+        et = _bool(r["early termination"])
+        x = float(r[x_axis])
+        y = float(r["aligns/second"])
+        series[et][x] = max(series[et].get(x, 0.0), y)
+
+    fig, ax = plt.subplots(figsize=(6, 4))
+    for et, pts in sorted(series.items()):
+        xs = sorted(pts)
+        ax.plot(xs, [pts[x] for x in xs], marker="o",
+                label=f"ET={'on' if et else 'off'}")
+    ax.set_xlabel(x_axis)
+    ax.set_ylabel("aligns/second")
+    ax.set_title(f"Throughput vs {x_axis}")
+    ax.legend()
+    ax.grid(alpha=0.3)
+    fig.tight_layout()
+    fig.savefig(out, dpi=150)
+    print(f"wrote {out}")
+
+
+def plot_accuracy(device_csv: str, exact_csv: str, out: str):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    dev = _read_csv(device_csv)
+    exact = _read_csv(exact_csv)
+    by_w: Dict[int, List[int]] = defaultdict(list)
+    for r in dev:
+        by_w[int(r["W"])].append(int(r["score"]))
+    exact_scores = [int(r["score"]) for r in exact]
+
+    fig, ax = plt.subplots(figsize=(6, 4))
+    data = [exact_scores] + [by_w[w] for w in sorted(by_w)]
+    labels = ["exact"] + [f"W={w}" for w in sorted(by_w)]
+    ax.boxplot(data, tick_labels=labels, showfliers=False)
+    ax.set_ylabel("affine-gap score")
+    ax.set_title("Alignment score distribution vs exact baseline")
+    ax.grid(alpha=0.3, axis="y")
+    fig.tight_layout()
+    fig.savefig(out, dpi=150)
+    print(f"wrote {out}")
+
+
+def plot_roofline(csv_path: str, out: str, read_len: int = 10_000,
+                  error_rate: float = 0.05, batch: int = 2048):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from .model import tpu_aligns_per_second
+
+    rows = _read_csv(csv_path)
+    meas: Dict[int, float] = {}
+    for r in rows:
+        if _bool(r["early termination"]):
+            w = int(float(r["W"]))
+            meas[w] = max(meas.get(w, 0.0), float(r["aligns/second"]))
+
+    ws = sorted(meas)
+    model = [tpu_aligns_per_second(
+        W=w, K=w, O=min(w // 2 + 1, w - 1), read_len=read_len,
+        error_rate=error_rate, batch=batch)["aligns_per_second"]
+        for w in ws]
+
+    fig, ax = plt.subplots(figsize=(6, 4))
+    ax.plot(ws, model, "--", label="analytical VPU model")
+    ax.plot(ws, [meas[w] for w in ws], marker="o", label="measured")
+    ax.set_xlabel("W")
+    ax.set_ylabel("aligns/second")
+    ax.set_yscale("log")
+    ax.set_title("Measured vs modeled kernel throughput")
+    ax.legend()
+    ax.grid(alpha=0.3)
+    fig.tight_layout()
+    fig.savefig(out, dpi=150)
+    print(f"wrote {out}")
+
+
+def plot_asic(csv_path: str, out: str):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    rows = _read_csv(csv_path)
+    fig, axes = plt.subplots(1, 2, figsize=(10, 4))
+    for sene in (False, True):
+        for dent in (False, True):
+            pts = [(int(r["O"]), float(r["area_mm2"]), float(r["power_W"]))
+                   for r in rows
+                   if _bool(r["SENE"]) == sene and _bool(r["DENT"]) == dent]
+            if not pts:
+                continue
+            pts.sort()
+            label = f"SENE={int(sene)} DENT={int(dent)}"
+            axes[0].plot([p[0] for p in pts], [p[1] for p in pts],
+                         label=label)
+            axes[1].plot([p[0] for p in pts], [p[2] for p in pts],
+                         label=label)
+    axes[0].set_xlabel("O")
+    axes[0].set_ylabel("area (mm^2)")
+    axes[1].set_xlabel("O")
+    axes[1].set_ylabel("power (W)")
+    for ax in axes:
+        ax.grid(alpha=0.3)
+        ax.legend(fontsize=7)
+    fig.suptitle("ASIC vault area/power vs overlap (W=64)")
+    fig.tight_layout()
+    fig.savefig(out, dpi=150)
+    print(f"wrote {out}")
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("kind",
+                   choices=["throughput", "accuracy", "roofline", "asic"])
+    p.add_argument("--csv", required=True,
+                   help="input CSV (device CSV for accuracy)")
+    p.add_argument("--exact_csv", help="exact-baseline CSV (accuracy only)")
+    p.add_argument("--out", default="figure.png")
+    p.add_argument("--x", default="W", help="x axis column (throughput)")
+    args = p.parse_args(argv)
+
+    if args.kind == "throughput":
+        plot_throughput(args.csv, args.out, args.x)
+    elif args.kind == "accuracy":
+        if not args.exact_csv:
+            p.error("--exact_csv required for accuracy plots")
+        plot_accuracy(args.csv, args.exact_csv, args.out)
+    elif args.kind == "roofline":
+        plot_roofline(args.csv, args.out)
+    else:
+        plot_asic(args.csv, args.out)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

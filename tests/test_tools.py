@@ -1,0 +1,97 @@
+"""Tools tests: converter, cigar analysis, dataset simulation, sweep CSVs."""
+
+import csv
+import os
+import subprocess
+import sys
+
+import pytest
+
+from scrooge_tpu.tools import convert as cv
+from scrooge_tpu.tools.cigar_tools import (
+    cigar_match_coords,
+    cigar_path,
+    correctly_aligned_fraction,
+    maf_match_coords,
+)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_convert_fasta_fastq_roundtrip(tmp_path):
+    fa = tmp_path / "in.fa"
+    fa.write_text(">r1 extra\nACGTN\nACGT\n>r2\nTTTT\n")
+    reads = cv.import_reads(fa.read_text(), "FASTA")
+    assert reads == [("r1 extra", "ACGTNACGT"), ("r2", "TTTT")]
+    reads = cv.prune_titles(reads)
+    assert reads[0][0] == "r1"
+    kept = cv.restrict_reads(reads, "ACGT")
+    assert [t for t, _ in kept] == ["r2"]
+    fq = cv.export_reads(kept, "FASTQ")
+    back = cv.import_reads(fq, "FASTQ")
+    assert back == kept
+
+
+def test_restrict_genome_splits():
+    seqs = [("chr1", "ACGTNNACGTNA")]
+    parts = cv.restrict_genome(seqs, "ACGT")
+    assert parts == [("chr1_part0", "ACGT"), ("chr1_part1", "ACGT"),
+                     ("chr1_part2", "A")]
+
+
+def test_vgsim_import():
+    reads = cv.import_reads("ACGT\nTTTT\n", "VGSIM")
+    assert reads == [("read_000000", "ACGT"), ("read_000001", "TTTT")]
+
+
+def test_cigar_path_and_match_coords():
+    assert cigar_path("2=1I1D") == [(0, 0), (2, 2), (2, 3), (3, 3)]
+    assert cigar_match_coords("2=1X1=") == {(0, 0), (1, 1), (3, 3)}
+
+
+def test_correctly_aligned_fraction():
+    #   ref : A C G T
+    #   read: A C - T   (deletion of G)
+    ref_row, read_row = "ACGT", "AC-T"
+    # perfect cigar: 2= 1D 1=
+    assert correctly_aligned_fraction("2=1D1=", ref_row, read_row) == 1.0
+    # wrong cigar aligns T to the wrong column
+    frac = correctly_aligned_fraction("2=1I1=", ref_row, read_row)
+    assert frac < 1.0
+    assert maf_match_coords(ref_row, read_row) == {(0, 0), (1, 1), (3, 2)}
+
+
+def test_simulated_dataset_cli_and_sweep_smoke(tmp_path):
+    env = dict(os.environ, PYTHONPATH=REPO)
+    proc = subprocess.run(
+        [sys.executable, "-m", "scrooge_tpu.tools.download_datasets",
+         "--simulate", "sim", "--num_reads", "4", "--read_len", "300",
+         "--datasets_dir", str(tmp_path)],
+        capture_output=True, text=True, env=env, timeout=300)
+    assert proc.returncode == 0, proc.stderr
+    assert (tmp_path / "sim" / "candidates.paf").exists()
+
+    from scrooge_tpu import io as sio
+
+    genome, reads = sio.load_dataset(tmp_path / "sim")
+    assert len(reads) == 4 and all(r.locations for r in reads)
+
+
+def test_asic_model_matches_reference_linear_numbers():
+    """The analytical vault model must reproduce the reference's linear
+    (non-CACTI) improvement factors (asic_numbers.py improvements)."""
+    from scrooge_tpu.profiling.model import area, power
+
+    ga, sa = area(64, 33, 64, False, False), area(64, 33, 64, True, True)
+    gp, sp = power(64, 33, 64, False, False), power(64, 33, 64, True, True)
+    assert round(sum(ga) / sum(sa), 3) == 3.326
+    assert round(sum(gp) / sum(sp), 3) == 1.974
+
+
+def test_asic_latency_model():
+    from scrooge_tpu.profiling.model import single_window_latency
+
+    # W=64, O=33, 64 PEs: (2*64+1)*1 + 31 = 160 cycles
+    assert single_window_latency(64, 33, 64) == 160
+    # 32 PEs: two blocks
+    assert single_window_latency(64, 33, 32) == (129 * 2) + 31
