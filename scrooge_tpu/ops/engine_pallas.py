@@ -276,13 +276,15 @@ def _multi_window_kernel(cfg: AlignConfig, kw: int,
 
             def i_body(step, carry):
                 i = W - step
-                right, topright = carry  # tuples of NW uint32 words
+                # right = center(i+1); topright = top(i+1); sh_tr is the
+                # cached shl1(top(i+1)) from the previous step — saves one
+                # of the three multiword shifts per step
+                right, topright, sh_tr = carry
                 top = [ff_ref[i, w] for w in range(NW)]
                 ip = jnp.minimum(i, W - 1)
                 cur_pm = [pmi_ref[ip, w] for w in range(NW)]
                 is_start = i >= n
                 sh_r = _shl1_u32(right, W)
-                sh_tr = _shl1_u32(topright, W)
                 sh_t = _shl1_u32(top, W)
                 center = []
                 for w in range(NW):
@@ -297,10 +299,10 @@ def _multi_window_kernel(cfg: AlignConfig, kw: int,
                 ic = jnp.minimum(i, COLS - 1)
                 for w in range(NWH):
                     R_ref[d, ic, w] = center[FTW + w]
-                return tuple(center), tuple(top)
+                return tuple(center), tuple(top), tuple(sh_t)
 
             z = tuple(jnp.zeros(lane, jnp.uint32) for _ in range(NW))
-            center, _ = lax.fori_loop(0, W + 1, i_body, (z, z))
+            center, _, _ = lax.fori_loop(0, W + 1, i_body, (z, z, z))
 
             hit = ((center[NW - 1] >> top_bit_off) & 1) == 0
             newly = hit & (found == 0)
@@ -561,7 +563,19 @@ def _align_scan(cfg: AlignConfig, sk: int, kw: int, max_windows: int,
         jnp.zeros(lane, jnp.int32),  # failed
     )
 
-    def scan_body(carry, _):
+    # while-based slab loop with early exit once every lane is done (a
+    # fixed-length scan would run inert tail slabs: lanes finish at
+    # data-dependent windows and maxw is a worst-case bound)
+    ents0 = jnp.zeros((n_steps, kw, NE, B), jnp.uint16)
+    cnts0 = jnp.zeros((n_steps, kw, B), jnp.int32)
+
+    def loop_cond(st):
+        step, carry, _, _ = st
+        done = carry[3]
+        return (step < n_steps) & ~jnp.all(done != 0)
+
+    def loop_body(st):
+        step, carry, ents, cnts = st
         ref_idx, read_idx, ed, done, failed = carry
 
         twords, toff = gather_text_words(ref_idx)  # (B, NWD), (B,)
@@ -581,12 +595,16 @@ def _align_scan(cfg: AlignConfig, sk: int, kw: int, max_windows: int,
             poff.reshape(lane), tlen, plen,
             ref_idx, read_idx, ed, done, failed)
 
-        entries = entries_i.astype(jnp.uint16)
+        ents = lax.dynamic_update_slice(
+            ents, entries_i.astype(jnp.uint16).reshape(1, kw, NE, B),
+            (step, 0, 0, 0))
+        cnts = lax.dynamic_update_slice(
+            cnts, nfl.reshape(1, kw, B), (step, 0, 0))
         new_carry = (ref_idx, read_idx, ed, done, failed)
-        return new_carry, (entries.reshape(kw, NE, B), nfl.reshape(kw, B))
+        return step + 1, new_carry, ents, cnts
 
-    carry, (entries, counts) = lax.scan(
-        scan_body, carry0, None, length=n_steps)
+    _, carry, entries, counts = lax.while_loop(
+        loop_cond, loop_body, (jnp.int32(0), carry0, ents0, cnts0))
 
     _, read_idx, ed, done, failed = carry
     failed = (failed != 0) | (read_idx < plen)
