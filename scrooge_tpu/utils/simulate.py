@@ -33,28 +33,30 @@ def random_genome(length: int, seed: int = 0, name: str = "chr1") -> Genome:
 
 def _mutate(rng: np.random.Generator, codes: np.ndarray, error_rate: float,
             ratio=(6, 55, 39)) -> np.ndarray:
-    """Apply sub/ins/del edits at `error_rate` per base (ratio sums to 100)."""
-    out: List[int] = []
+    """Apply sub/ins/del edits at `error_rate` per base (ratio sums to 100).
+
+    Vectorized: substitutions rotate the code, insertions keep the base and
+    append a random one, deletions drop it."""
+    n = len(codes)
     p_sub = error_rate * ratio[0] / sum(ratio)
     p_ins = error_rate * ratio[1] / sum(ratio)
     p_del = error_rate * ratio[2] / sum(ratio)
-    u = rng.random(len(codes))
+    u = rng.random(n)
     kind = np.select(
         [u < p_sub, u < p_sub + p_ins, u < p_sub + p_ins + p_del],
         [1, 2, 3], default=0)
-    for c, k in zip(codes, kind):
-        if k == 1:  # substitution
-            out.append((int(c) + int(rng.integers(1, 4))) % 4)
-        elif k == 2:  # insertion (keep base, add a random one)
-            out.append(int(c))
-            out.append(int(rng.integers(0, 4)))
-        elif k == 3:  # deletion
-            continue
-        else:
-            out.append(int(c))
-    if not out:
-        out.append(int(rng.integers(0, 4)))
-    return np.asarray(out, np.uint8)
+    codes = np.where(kind == 1,
+                     (codes + rng.integers(1, 4, n)) % 4,
+                     codes).astype(np.uint8)
+    reps = np.where(kind == 3, 0, np.where(kind == 2, 2, 1))
+    out = np.repeat(codes, reps)
+    # the second copy of each insertion becomes a random base
+    ins_ends = np.cumsum(reps)[kind == 2] - 1
+    if len(ins_ends):
+        out[ins_ends] = rng.integers(0, 4, len(ins_ends))
+    if not len(out):
+        out = rng.integers(0, 4, 1).astype(np.uint8)
+    return out.astype(np.uint8)
 
 
 @dataclass
