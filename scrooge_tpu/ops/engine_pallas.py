@@ -268,47 +268,102 @@ def _multi_window_kernel(cfg: AlignConfig, kw: int,
 
         lax.fori_loop(0, W, pm_body, 0)
 
-        # ---- DP fill (genasm_cpu.cpp:210-288) ----
+        # ---- DP fill (genasm_cpu.cpp:210-288), two rows per i-pass ----
+        # Rows d (A) and d+1 (B) advance in one wavefront: at loop index i,
+        # A computes cell (d, i) and B computes cell (d+1, i+1). Row d's
+        # values flow to row d+1 entirely through registers (B's top is
+        # A's center from the previous step, and every shift B needs was
+        # already computed for A), so ff is read once and written once per
+        # TWO rows and the loop runs (W+2) steps per two rows instead of
+        # 2(W+1). The recurrence itself is exactly genasm_cpu.cpp:246-251.
         def d_body(st):
             d, found, wed = st
-            ones_d = _ones_shifted_u32(s + d, W, NW)
+            ones_a = _ones_shifted_u32(s + d, W, NW)
+            ones_b = _ones_shifted_u32(s + d + 1, W, NW)
             is_zero = d == 0
 
             def i_body(step, carry):
-                i = W - step
-                # right = center(i+1); topright = top(i+1); sh_tr is the
-                # cached shl1(top(i+1)) from the previous step — saves one
-                # of the three multiword shifts per step
-                right, topright, sh_tr = carry
-                top = [ff_ref[i, w] for w in range(NW)]
-                ip = jnp.minimum(i, W - 1)
+                i = W - step  # W .. -1
+                # A deps (row d, col i): rA = center_A(i+1), trA = top(i+1)
+                # = ff value read last step, sh_trA = its cached shift.
+                # B deps (row d+1, col i+1): rB = center_B(i+2),
+                # trB = center_A(i+2) (prev step's rA), sh_trB = its shift
+                # (prev step's sh_rA), top_B = center_A(i+1) = rA with
+                # shift sh_rA computed this step, pm at col i+1 = prev
+                # step's A pm.
+                rA, trA, sh_trA, rB, trB, sh_trB, pm_prev = carry
+                ic = jnp.maximum(i, 0)
+                top = [ff_ref[ic, w] for w in range(NW)]
+                ip = jnp.minimum(ic, W - 1)
                 cur_pm = [pmi_ref[ip, w] for w in range(NW)]
-                is_start = i >= n
-                sh_r = _shl1_u32(right, W)
-                sh_t = _shl1_u32(top, W)
-                center = []
+                sh_rA = _shl1_u32(rA, W)
+                sh_tA = _shl1_u32(top, W)
+                sh_rB = _shl1_u32(rB, W)
+                startA = i >= n
+                startB = (i + 1) >= n
+                cA = []
+                cB = []
                 for w in range(NW):
-                    mat = sh_r[w] | cur_pm[w]
-                    full = mat & sh_tr[w] & sh_t[w] & topright[w]
-                    nonstart = jnp.where(is_zero, mat, full)
-                    cw = jnp.where(is_start, ones_d[w], nonstart)
-                    center.append(cw)
-                    ff_ref[i, w] = cw
-                # stored entry: traceback words only; i >= COLS lands on
-                # slot COLS-1 and is overwritten later as i descends
-                ic = jnp.minimum(i, COLS - 1)
+                    matA = sh_rA[w] | cur_pm[w]
+                    fullA = matA & sh_trA[w] & sh_tA[w] & trA[w]
+                    nsA = jnp.where(is_zero, matA, fullA)
+                    cA.append(jnp.where(startA, ones_a[w], nsA))
+                    matB = sh_rB[w] | pm_prev[w]
+                    # terms: shl1(topright_B)=sh_trB, shl1(top_B)=sh_rA,
+                    # raw topright_B = trB (center_A at col i+2)
+                    fullB = matB & sh_trB[w] & sh_rA[w] & trB[w]
+                    cB.append(jnp.where(startB, ones_b[w], fullB))
+
+                # writes: A is valid for i in [0, W]; B's column i+1 is
+                # valid for i in [-1, W-1]. Out-of-range steps write to
+                # dummy slots (row K+1 of R, row W+1 of ff) via scalar
+                # index selects — pl.when-guarded stores trip a Mosaic
+                # relayout bug. ff ends up holding row d+1.
+                rowA = jnp.where(i >= 0, d, K + 1)
+                icol = jnp.minimum(jnp.maximum(i, 0), COLS - 1)
                 for w in range(NWH):
-                    R_ref[d, ic, w] = center[FTW + w]
-                return tuple(center), tuple(top), tuple(sh_t)
+                    R_ref[rowA, icol, w] = cA[FTW + w]
 
-            z = tuple(jnp.zeros(lane, jnp.uint32) for _ in range(NW))
-            center, _, _ = lax.fori_loop(0, W + 1, i_body, (z, z, z))
+                ffi = jnp.minimum(i + 1, W + 1)
+                for w in range(NW):
+                    ff_ref[ffi, w] = cB[w]
+                rowB = jnp.where(i + 1 <= W, d + 1, K + 1)
+                bcol = jnp.minimum(i + 1, COLS - 1)
+                for w in range(NWH):
+                    R_ref[rowB, bcol, w] = cB[FTW + w]
 
-            hit = ((center[NW - 1] >> top_bit_off) & 1) == 0
-            newly = hit & (found == 0)
-            wed = jnp.where(newly, d, wed)
-            found = jnp.where(newly, 1, found)
-            return d + 1, found, wed
+                # capture the i==0 centers (the full-match probe column)
+                # into dedicated ff scratch rows via scalar-select indices;
+                # carrying them as loop state trips Mosaic layout
+                # unification (splat inits pin a replicated layout)
+                rowPA = jnp.where(i == 0, W + 2, W + 1)
+                ff_ref[rowPA, NW - 1] = cA[NW - 1]
+                rowPB = jnp.where(i == -1, W + 3, W + 1)
+                ff_ref[rowPB, NW - 1] = cB[NW - 1]
+                return (tuple(cA), tuple(top), tuple(sh_tA),
+                        tuple(cB), tuple(rA), tuple(sh_rA),
+                        tuple(cur_pm))
+
+            # init the carry from VMEM reads (contents are never used: the
+            # first steps take the start-column paths). Splat-zero inits
+            # pin a replicated register layout through the pure-passthrough
+            # carry slots (trB = previous rA), which Mosaic then cannot
+            # unify with the computed values' layouts.
+            z = tuple(ff_ref[W + 1, w] for w in range(NW))
+            lax.fori_loop(0, W + 2, i_body, (z, z, z, z, z, z, z))
+            probeA = ff_ref[W + 2, NW - 1]
+            probeB = ff_ref[W + 3, NW - 1]
+
+            hitA = ((probeA >> top_bit_off) & 1) == 0
+            newlyA = hitA & (found == 0)
+            wed = jnp.where(newlyA, d, wed)
+            found = jnp.where(newlyA, 1, found)
+            if_b_valid = (d + 1) <= K
+            hitB = (((probeB >> top_bit_off) & 1) == 0) & if_b_valid
+            newlyB = hitB & (found == 0)
+            wed = jnp.where(newlyB, d + 1, wed)
+            found = jnp.where(newlyB, 1, found)
+            return d + 2, found, wed
 
         def d_cond(st):
             d, found, _ = st
@@ -505,9 +560,13 @@ def slab_step_kernel(cfg: AlignConfig, kw: int, sk: int,
     in_specs = [slab3, lane2, slab3, lane2, lane2, lane2,
                 lane2, lane2, lane2, lane2, lane2]
     scratch_shapes = [
-        pltpu.VMEM((cfg.rows, cfg.columns, cfg.num_tb_words, sk, LANE),
+        # rows+1: the two-row wavefront writes a discarded row K+1 on the
+        # last pair when K is even (never read by the traceback)
+        pltpu.VMEM((cfg.rows + 1, cfg.columns, cfg.num_tb_words, sk, LANE),
                    jnp.uint32),  # R
-        pltpu.VMEM((W + 1, cfg.num_words, sk, LANE), jnp.uint32),  # forefront
+        # W+4: slot W+1 is the wavefront's dummy sink, W+2/W+3 hold the
+        # full-match probe columns of the two rows
+        pltpu.VMEM((W + 4, cfg.num_words, sk, LANE), jnp.uint32),  # forefront
         pltpu.VMEM((W, cfg.num_words, sk, LANE), jnp.uint32),  # pmi
         pltpu.VMEM((W, sk, LANE), jnp.int32),  # unpacked pattern chars
         pltpu.VMEM((NE, sk, LANE), jnp.int32),  # per-window entry scratch

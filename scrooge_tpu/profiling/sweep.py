@@ -82,11 +82,10 @@ THROUGHPUT_HEADER = ["W", "O", "SENE", "DENT", "early termination",
 
 
 def sweep_wo(genome, reads, backend: str, out: Path, max_experiments: int,
-             repetitions: int, batch: int):
+             repetitions: int, batch: int, max_W: int = 256):
     """W sweep with O = min(W//2+1, W-1) (profile.py:65-82). The SENE/DENT
     toggles are output-invariant memory-layout knobs exercised for schema
     parity; ET is a real performance toggle."""
-    max_W = 256
     gran = max(16, max_W // max(1, max_experiments))
     Ws = [w for w in range(gran, max_W + 1, gran)]
     data: List = []
@@ -132,15 +131,75 @@ def sweep_batch(genome, reads, backend: str, out: Path, max_experiments: int,
     csv_write(out, data, THROUGHPUT_HEADER)
 
 
+def sweep_kernel(genome, reads, out: Path, max_experiments: int,
+                 batch: int, W: int = 64):
+    """Kernel-internal knob sweep: windows-per-slab (kw) x sublane tile
+    (sk) — the analogue of the reference GPU's THREAD_BLOCKS_PER_SM /
+    DP_MEMORY / smem-carveout sweeps (profile.py:177-248): execution-shape
+    knobs that change performance, never outputs."""
+    import time as _time
+
+    import jax
+    import numpy as np
+
+    from ..api import encode_np
+    from ..ops import engine_pallas as ep
+
+    cfg = AlignConfig(W=W, K=W, O=W // 2 + 1)
+    B = batch
+    reads = list(reads)[:B]
+    genome_codes = encode_np(genome.content)
+    gpad = -(-len(genome_codes) // 16) * 16
+    gwords = jax.device_put(ep.pack_2bit_host(
+        np.pad(genome_codes, (0, gpad - len(genome_codes))).reshape(1, -1))[0])
+    qc = [encode_np(r.content) for r in reads]
+    longest = max(len(q) for q in qc)
+    maxw = -(-cfg.max_windows(longest) // 32) * 32
+    P = -(-longest // 1024) * 1024
+    pattern = np.zeros((B, P), np.uint8)
+    plen = np.zeros(B, np.int32)
+    starts = np.zeros(B, np.uint32)
+    tlen = np.zeros(B, np.int32)
+    bound = maxw * cfg.tb_limit + cfg.W
+    for i in range(B):
+        q = qc[i % len(qc)]
+        pattern[i, : len(q)] = q
+        plen[i] = len(q)
+        st = reads[i % len(reads)].locations[0].start_in_reference
+        starts[i] = st
+        tlen[i] = min(len(genome_codes) - st, bound)
+    pwords = ep.pack_2bit_host(pattern)
+    args = [jax.device_put(x) for x in (starts, tlen, pwords, plen)]
+
+    data = []
+    S = B // 128
+    combos = [(kw, sk) for kw in (1, 2, 4, 8, 16) for sk in (8, 16)
+              if sk <= S and S % sk == 0][: max(2, 2 * max_experiments)]
+    for kw, sk in combos:
+        if ep.kernel_vmem_bytes(cfg, sk, kw) > ep.VMEM_BUDGET:
+            continue
+        try:
+            r = ep.align_batch_mapped(cfg, maxw, sk, kw, gwords, *args)
+            np.asarray(r.edit_distance)
+            t0 = _time.perf_counter()
+            r = ep.align_batch_mapped(cfg, maxw, sk, kw, gwords, *args)
+            np.asarray(r.edit_distance)
+            dt = _time.perf_counter() - t0
+            data.append([kw, sk, B, B / dt])
+        except Exception as e:
+            print(f"kw={kw} sk={sk} failed ({e})", file=sys.stderr)
+    csv_write(out, data, ["kw", "sk", "batch", "aligns/second"])
+
+
 def accuracy_sweep(genome, reads, out: Path, max_experiments: int,
-                   cigar: bool, backend: str, batch: int):
+                   cigar: bool, backend: str, batch: int,
+                   max_W: int = 256):
     """Per-pair affine scores across W (profile.py:588-610): dumps
     pair_idx/score(/cigar) rows, plus the exact-aligner rows as the
     'edlib' accuracy gold standard (algorithm column in all_accuracy,
     cpu_baseline.cpp:784-875)."""
     scoring = dict(match=2, mismatch=4, gap_open=4, gap_extend=2)
-    max_W = 256
-    gran = max(32, max_W // max(1, max_experiments))
+    gran = max(16, max_W // max(1, max_experiments))
     Ws = list(range(gran, max_W + 1, gran))
     data: List = []
     for idx, W in enumerate(Ws):
@@ -201,6 +260,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--max_experiments", type=int, default=8)
     p.add_argument("--repetitions", type=int, default=1)
     p.add_argument("--override_W", type=int, default=None)
+    p.add_argument("--max_W", type=int, default=256)
     p.add_argument("--batch_tile", type=int, default=2048)
     p.add_argument("--cigar", action="store_true")
     args = p.parse_args(argv)
@@ -214,18 +274,23 @@ def main(argv: Optional[List[str]] = None) -> int:
     if args.target in ("device", "xla"):
         tag = args.target
         sweep_wo(genome, reads, backend, out / f"{name}_{tag}_sweep_WO.csv",
-                 args.max_experiments, args.repetitions, args.batch_tile)
+                 args.max_experiments, args.repetitions, args.batch_tile,
+                 args.max_W)
         sweep_o(genome, reads, backend, out / f"{name}_{tag}_sweep_O.csv",
                 args.max_experiments, args.repetitions, args.batch_tile, W)
         sweep_batch(genome, reads, backend,
                     out / f"{name}_{tag}_sweep_batch.csv",
                     args.max_experiments, args.repetitions, W)
+        if tag == "device":
+            sweep_kernel(genome, reads,
+                         out / f"{name}_device_sweep_kernel.csv",
+                         args.max_experiments, args.batch_tile, W)
     else:
         cig = "_cigar" if args.cigar else ""
         accuracy_sweep(genome, reads,
                        out / f"{name}_accuracy_sweep_wo{cig}.csv",
                        args.max_experiments, args.cigar, "auto",
-                       args.batch_tile)
+                       args.batch_tile, args.max_W)
         exact_accuracy(genome, reads,
                        out / f"{name}_exact_accuracy{cig}.csv", args.cigar)
     return 0

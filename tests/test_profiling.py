@@ -1,0 +1,92 @@
+"""Sweep driver + plotting smoke tests (tiny workloads, XLA backend)."""
+
+import csv
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(args, timeout=1200):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    # force the portable CPU backend: stripping the TPU plugin's site dir
+    # from PYTHONPATH would leave JAX_PLATFORMS pointing at an unregistered
+    # backend
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.setdefault("JAX_COMPILATION_CACHE_DIR",
+                   os.path.join(REPO, ".jax_cache"))
+    return subprocess.run([sys.executable, "-m"] + args, env=env, cwd=REPO,
+                          capture_output=True, text=True, timeout=timeout)
+
+
+@pytest.fixture(scope="module")
+def sweep_dir(tmp_path_factory):
+    out = tmp_path_factory.mktemp("profile")
+    proc = _run(["scrooge_tpu.profiling.sweep", "xla", "simulated:128:300",
+                 "--profile_dir", str(out), "--max_experiments", "2",
+                 "--batch_tile", "128", "--max_W", "32",
+                 "--override_W", "32"])
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    return out
+
+
+def test_sweep_writes_reference_schema_csvs(sweep_dir):
+    wo = sweep_dir / "simulated_128_300_xla_sweep_WO.csv"
+    assert wo.exists()
+    with open(wo) as f:
+        rows = list(csv.reader(f))
+    assert rows[0] == ["W", "O", "SENE", "DENT", "early termination",
+                       "threads", "aligns/second"]
+    assert len(rows) > 1
+    assert float(rows[1][-1]) > 0
+
+
+def test_accuracy_sweep_and_plots(tmp_path):
+    out = tmp_path / "profile"
+    proc = _run(["scrooge_tpu.profiling.sweep", "accuracy",
+                 "simulated:64:200", "--profile_dir", str(out),
+                 "--max_experiments", "1", "--batch_tile", "128",
+                 "--cigar", "--max_W", "32"])
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    acc = out / "simulated_64_200_accuracy_sweep_wo_cigar.csv"
+    exact = out / "simulated_64_200_exact_accuracy_cigar.csv"
+    assert acc.exists() and exact.exists()
+
+    from scrooge_tpu.profiling import plots
+
+    fig = tmp_path / "acc.png"
+    plots.plot_accuracy(str(acc), str(exact), str(fig))
+    assert fig.exists() and fig.stat().st_size > 0
+
+    # cigar inspection on the same CSV
+    from scrooge_tpu.tools import cigar_tools
+
+    path_fig = tmp_path / "paths.png"
+    cigar_tools.inspect(str(acc), 4, str(path_fig))
+    assert path_fig.exists()
+
+
+def test_throughput_plot(sweep_dir, tmp_path):
+    from scrooge_tpu.profiling import plots
+
+    fig = tmp_path / "tp.png"
+    plots.plot_throughput(
+        str(sweep_dir / "simulated_128_300_xla_sweep_WO.csv"), str(fig))
+    assert fig.exists() and fig.stat().st_size > 0
+
+
+def test_asic_sweep_csv_and_plot(tmp_path):
+    proc = _run(["scrooge_tpu.profiling.model", "sweep", "--out",
+                 str(tmp_path / "asic.csv")])
+    assert proc.returncode == 0, proc.stderr[-2000:]
+
+    from scrooge_tpu.profiling import plots
+
+    fig = tmp_path / "asic.png"
+    plots.plot_asic(str(tmp_path / "asic.csv"), str(fig))
+    assert fig.exists()
