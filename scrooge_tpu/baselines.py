@@ -81,6 +81,91 @@ def exact_semiglobal(text: str, query: str) -> Tuple[int, str]:
     return ed, "".join(f"{c}{op}" for c, op in reversed(runs))
 
 
+def affine_semiglobal(text: str, query: str, match: int = 2,
+                      mismatch: int = 4, gap_open: int = 4,
+                      gap_extend: int = 2) -> Tuple[int, str]:
+    """Exact affine-gap semiglobal alignment (Gotoh), the role ksw2/WFA
+    play in the reference's accuracy comparisons (cpu_baseline.cpp:155-292;
+    default scoring 2,4,4,2, cpu_baseline.cpp:885; a length-L gap costs
+    gap_open + gap_extend*L, matching get_alignment_score).
+
+    Whole query against a prefix of text, leading text gaps charged.
+    Returns (score, extended CIGAR). Row-vectorized numpy O(nm).
+    """
+    n, m = len(text), len(query)
+    NEG = np.int64(-(1 << 40))
+    if m == 0:
+        return 0, ""
+    if n == 0:
+        return -(gap_open + gap_extend * m), f"{m}I"
+    t = np.frombuffer(text.encode(), np.uint8)
+    q = np.frombuffer(query.encode(), np.uint8)
+
+    jj = np.arange(n + 1, dtype=np.int64)
+    H = np.empty((m + 1, n + 1), np.int64)
+    E = np.full((m + 1, n + 1), NEG, np.int64)  # gap in query (D ops)
+    F = np.full((m + 1, n + 1), NEG, np.int64)  # gap in text (I ops)
+    H[0, 0] = 0
+    E[0, 1:] = -(gap_open + gap_extend * jj[1:])
+    H[0, 1:] = E[0, 1:]
+    for i in range(1, m + 1):
+        F[i, :] = np.maximum(H[i - 1, :] - gap_open - gap_extend,
+                             F[i - 1, :] - gap_extend)
+        diag = np.where(t == q[i - 1], match, -mismatch) + H[i - 1, :-1]
+        h_no_e = np.empty(n + 1, np.int64)
+        h_no_e[0] = F[i, 0]
+        h_no_e[1:] = np.maximum(diag, F[i, 1:])
+        # E[i, j] = max_{k<j} h_no_e[k] - gap_open - gap_extend*(j-k)
+        u = np.maximum.accumulate(h_no_e + gap_extend * jj)
+        E[i, 1:] = u[:-1] - gap_open - gap_extend * jj[1:]
+        H[i, :] = np.maximum(h_no_e, E[i, :])
+        H[i, 0] = -(gap_open + gap_extend * i)
+        F[i, 0] = H[i, 0]  # a leading query gap is the only path here
+
+    end = int(np.argmax(H[m]))
+    score = int(H[m, end])
+
+    # traceback through H/E/F
+    runs = []
+
+    def emit(op):
+        if runs and runs[-1][1] == op:
+            runs[-1][0] += 1
+        else:
+            runs.append([1, op])
+
+    i, j, state = m, end, "H"
+    while i > 0 or j > 0:
+        if state == "H":
+            if i > 0 and j > 0 and H[i, j] == H[i - 1, j - 1] + (
+                    match if t[j - 1] == q[i - 1] else -mismatch):
+                emit("=" if t[j - 1] == q[i - 1] else "X")
+                i, j = i - 1, j - 1
+            elif H[i, j] == E[i, j]:
+                state = "E"
+            elif H[i, j] == F[i, j]:
+                state = "F"
+            elif j > 0 and i == 0:
+                state = "E"
+            else:
+                state = "F"
+        elif state == "E":
+            emit("D")
+            if j > 1 and E[i, j] == E[i, j - 1] - gap_extend:
+                j -= 1
+            else:
+                j -= 1
+                state = "H"
+        else:  # F
+            emit("I")
+            if i > 1 and F[i, j] == F[i - 1, j] - gap_extend:
+                i -= 1
+            else:
+                i -= 1
+                state = "H"
+    return score, "".join(f"{c}{op}" for c, op in reversed(runs))
+
+
 def semiglobal_distance(text: str, query: str) -> int:
     """Edit distance only, two-row memory."""
     n, m = len(text), len(query)

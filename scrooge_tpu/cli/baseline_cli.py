@@ -7,7 +7,8 @@ with this framework's algorithm set:
   genasm_device  — the Pallas TPU engine (auto backend)
   genasm_xla     — the portable XLA engine
   genasm_pyref   — the scalar oracle
-  exact          — exact semiglobal DP (the edlib-accuracy role)
+  exact          — exact semiglobal edit-distance DP (the edlib role)
+  affine         — exact affine-gap Gotoh DP (the ksw2/WFA role)
 
 Output formats are API (scraped by sweep tooling, profile.py:293 regex):
   "<algorithm>: <N.NN> aligns/second"
@@ -21,7 +22,7 @@ import time
 from typing import List
 
 from .. import api
-from ..baselines import exact_semiglobal
+from ..baselines import affine_semiglobal, exact_semiglobal
 from ..cigar import affine_score
 from ..config import AlignConfig
 from ..datamodel import Alignment
@@ -34,7 +35,7 @@ Options:
 --reads=[path to reads FASTQ]         -- override default reads data for performance test
 --seeds=[path to MAF or PAF]          -- override default seeds data for performance test
 --threads=[TILE[,MORE_TILES]]         -- run benchmarks with the given list of batch tiles (lanes) default:2048
---algorithms=[ALGORITHM[,MORE ALGORITHMS]] -- run only the specified algorithms, supported are: genasm_device, genasm_xla, genasm_pyref, exact
+--algorithms=[ALGORITHM[,MORE ALGORITHMS]] -- run only the specified algorithms, supported are: genasm_device, genasm_xla, genasm_pyref, exact, affine
 --scoring=[MAT],[SUB],[GAPO],[GAPE]   -- set affine gap model scoring function, all values should be positive default:2,4,4,2
 --simulated=[N[,LEN]]                 -- use a built-in simulated dataset instead of files
 --verbose                             -- print progress to stderr. Otherwise, only benchmark results are printed
@@ -46,7 +47,8 @@ Options:
 ALLOWED = ["--reference", "--reads", "--seeds", "--threads", "--algorithms",
            "--scoring", "--simulated", "--verbose", "--accuracy", "--cigar",
            "--help"]
-ALL_ALGS = ["genasm_device", "genasm_xla", "genasm_pyref", "exact"]
+ALL_ALGS = ["genasm_device", "genasm_xla", "genasm_pyref", "exact",
+            "affine"]
 
 
 def _load(args):
@@ -70,14 +72,20 @@ def _load(args):
 
 
 def _align_with(alg: str, genome, reads, tile: int):
-    if alg == "exact":
+    if alg in ("exact", "affine"):
         out: List[Alignment] = []
         t0 = time.perf_counter_ns()
         for read in reads:
             for loc in read.locations:
                 start = loc.start_in_reference
                 text = genome.content[start : start + 2 * len(read.content) + 64]
-                ed, cg = exact_semiglobal(text, read.content)
+                if alg == "exact":
+                    ed, cg = exact_semiglobal(text, read.content)
+                else:
+                    _, cg = affine_semiglobal(text, read.content)
+                    from ..cigar import edits_in_cigar
+
+                    ed = edits_in_cigar(cg)
                 out.append(Alignment(cigar=cg, edit_distance=ed))
         core_ns = time.perf_counter_ns() - t0
         n = max(len(out), 1)

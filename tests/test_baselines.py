@@ -58,3 +58,43 @@ def test_single_window_genasm_is_exact():
             continue
         ed, _ = pyref.align_pair(t, q, cfg)
         assert ed == semiglobal_distance(t, q)
+
+
+def _brute_affine(text, query, match=2, mismatch=4, go=4, ge=2):
+    """Scalar Gotoh reference for the affine baseline."""
+    n, m = len(text), len(query)
+    NEG = -(1 << 40)
+    H = [[NEG] * (n + 1) for _ in range(m + 1)]
+    E = [[NEG] * (n + 1) for _ in range(m + 1)]
+    F = [[NEG] * (n + 1) for _ in range(m + 1)]
+    H[0][0] = 0
+    for j in range(1, n + 1):
+        E[0][j] = -(go + ge * j)
+        H[0][j] = E[0][j]
+    for i in range(1, m + 1):
+        H[i][0] = -(go + ge * i)
+        F[i][0] = H[i][0]
+        for j in range(1, n + 1):
+            E[i][j] = max(H[i][j - 1] - go - ge, E[i][j - 1] - ge)
+            F[i][j] = max(H[i - 1][j] - go - ge, F[i - 1][j] - ge)
+            s = match if text[j - 1] == query[i - 1] else -mismatch
+            H[i][j] = max(H[i - 1][j - 1] + s, E[i][j], F[i][j])
+    return max(H[m])
+
+
+def test_affine_matches_bruteforce_and_rescoring():
+    from scrooge_tpu.baselines import affine_semiglobal
+    from scrooge_tpu.cigar import affine_score, validate_cigar
+
+    for t, q in _cases(9, 40):
+        if not q:
+            continue
+        score, cigar = affine_semiglobal(t, q)
+        assert score == _brute_affine(t, q), (t, q)
+        # the CIGAR's affine rescoring must equal the DP score, and the
+        # alignment must be semantically valid
+        assert affine_score(cigar) == score, (t, q, cigar)
+        edits = sum(c for c, op in
+                    __import__("scrooge_tpu.cigar", fromlist=["parse_cigar"]
+                               ).parse_cigar(cigar) if op in "IDX")
+        validate_cigar(cigar, edits, t, q)
