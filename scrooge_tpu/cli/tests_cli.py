@@ -34,11 +34,13 @@ Options:
 --verbose                             -- print progress to stderr. Otherwise, only test results are printed
 --unit_tests                          -- run unit tests (default: disabled)
 --cpu_performance_test                -- run the portable XLA-engine performance test (default: TPU/Pallas)
+--profile=[trace dir]                 -- capture a jax.profiler trace of the performance run
 --help                                -- displays this information
 """
 
 ALLOWED = ["--reference", "--reads", "--seeds", "--device_info_only",
-           "--verbose", "--unit_tests", "--cpu_performance_test", "--help"]
+           "--verbose", "--unit_tests", "--cpu_performance_test",
+           "--profile", "--help"]
 
 # Golden cases from the reference kernel unit tests (tests.cu:183-196):
 # 9 handcrafted reads against a 16bp reference, expected edit distances
@@ -219,7 +221,8 @@ def library_interface_correctness_test() -> bool:
 
 
 def performance_test(reference_file: str, reads_file: str, seeds_file: str,
-                     cfg: AlignConfig, device_name: str) -> None:
+                     cfg: AlignConfig, device_name: str,
+                     profile_dir: str = None) -> None:
     """Performance run over a dataset directory's files
     (tests.cu:335-487 analogue: filter reverse strands, sort by length
     descending, align, CIGAR-validate every pair, print timing lines)."""
@@ -245,9 +248,23 @@ def performance_test(reference_file: str, reads_file: str, seeds_file: str,
     reads.sort(key=lambda r: -len(r.content))
 
     vlog("Running alignment algorithm...")
-    t0 = time.perf_counter_ns()
-    alignments, stats = api.align_reads(genome, reads, cfg, return_stats=True)
-    end_to_end_ns = time.perf_counter_ns() - t0
+    if profile_dir:
+        # device+host trace for external analysis (the reference relies on
+        # nvcc -lineinfo + external profilers, Makefile:9; here the JAX
+        # profiler writes a TensorBoard/XProf trace)
+        import jax
+
+        with jax.profiler.trace(profile_dir):
+            t0 = time.perf_counter_ns()
+            alignments, stats = api.align_reads(genome, reads, cfg,
+                                                return_stats=True)
+            end_to_end_ns = time.perf_counter_ns() - t0
+        vlog(f"profiler trace written to {profile_dir}")
+    else:
+        t0 = time.perf_counter_ns()
+        alignments, stats = api.align_reads(genome, reads, cfg,
+                                            return_stats=True)
+        end_to_end_ns = time.perf_counter_ns() - t0
 
     vlog("Sanity checking alignments...")
     pair_idx = 0
@@ -292,6 +309,8 @@ def main(argv: List[str] = None) -> int:
     bad |= st == opt.Opt.INVALID
     st, seeds_file = opt.get_value(args, "--seeds", seeds_file)
     bad |= st == opt.Opt.INVALID
+    st, profile_dir = opt.get_value(args, "--profile", None)
+    bad |= st == opt.Opt.INVALID
     bad |= "--help" in args
 
     if bad:
@@ -319,11 +338,13 @@ def main(argv: List[str] = None) -> int:
 
     if cpu_perf == opt.Opt.EXISTS:
         cfg = AlignConfig(backend="xla")
-        performance_test(reference_file, reads_file, seeds_file, cfg, "XLA")
+        performance_test(reference_file, reads_file, seeds_file, cfg, "XLA",
+                         profile_dir)
     else:
         print_device_info()
         cfg = AlignConfig(backend="auto")
-        performance_test(reference_file, reads_file, seeds_file, cfg, "TPU")
+        performance_test(reference_file, reads_file, seeds_file, cfg, "TPU",
+                         profile_dir)
     return 0
 
 

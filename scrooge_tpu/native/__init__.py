@@ -67,6 +67,10 @@ def get_lib():
         lib.pack_2bit_rows.restype = None
         lib.pack_2bit_rows.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p]
+        lib.format_cigars8.restype = ctypes.c_int
+        lib.format_cigars8.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -88,6 +92,29 @@ def format_cigars(entries: np.ndarray, totals: np.ndarray) -> Optional[List[str]
     out = np.empty((B, stride), np.uint8)
     lens = np.empty(B, np.int32)
     rc = lib.format_cigars(
+        entries.ctypes.data, cap, B, totals.ctypes.data,
+        out.ctypes.data, stride, lens.ctypes.data)
+    if rc != 0:
+        return None
+    flat = out.tobytes()
+    return [flat[b * stride : b * stride + int(lens[b])].decode("ascii")
+            for b in range(B)]
+
+
+def format_cigars_u8(entries: np.ndarray,
+                     totals: np.ndarray) -> Optional[List[str]]:
+    """entries: (cap, B) uint8 packed runs (op << 6 | count, count <= 63);
+    totals: (B,). None if the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    entries = np.ascontiguousarray(entries, np.uint8)
+    totals = np.ascontiguousarray(totals, np.int32)
+    cap, B = entries.shape
+    stride = max(int(totals.max(initial=0)), 1) * 3  # "63=" is 3 chars
+    out = np.empty((B, stride), np.uint8)
+    lens = np.empty(B, np.int32)
+    rc = lib.format_cigars8(
         entries.ctypes.data, cap, B, totals.ctypes.data,
         out.ctypes.data, stride, lens.ctypes.data)
     if rc != 0:

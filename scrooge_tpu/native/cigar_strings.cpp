@@ -127,4 +127,34 @@ void pack_2bit_rows(const uint8_t* codes, int64_t rows, int64_t T,
     }
 }
 
+// uint8 packed-run layout (op << 6 | count, count <= 63): used when the
+// config's tb_limit bounds run lengths under 64, halving the
+// device->host readback.
+int format_cigars8(const uint8_t* entries, int64_t cap, int64_t B,
+                   const int32_t* totals, char* out, int64_t out_stride,
+                   int32_t* out_lens) {
+    int rc = 0;
+    for (int64_t b = 0; b < B; b++) {
+        char* dst = out + b * out_stride;
+        char* p = dst;
+        char* end = dst + out_stride;
+        int64_t t = totals[b];
+        if (t > cap) t = cap;
+        for (int64_t g = 0; g < t; g++) {
+            uint8_t e = entries[g * B + b];
+            uint32_t count = e & 0x3F;
+            char op = OPS[(e >> 6) & 3];
+            char digits[4];
+            int nd = 0;
+            if (count == 0) digits[nd++] = '0';
+            while (count > 0) { digits[nd++] = (char)('0' + count % 10); count /= 10; }
+            if (p + nd + 1 > end) { rc = -1; break; }
+            while (nd > 0) *p++ = digits[--nd];
+            *p++ = op;
+        }
+        out_lens[b] = (int32_t)(p - dst);
+    }
+    return rc;
+}
+
 }  // extern "C"

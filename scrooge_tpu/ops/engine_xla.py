@@ -447,3 +447,16 @@ def compact_entries(entries, counts, cap: int):
     out = jnp.take_along_axis(entries.reshape(maxw * ne, b), src, axis=0)
     valid = g < totals[None, :]
     return jnp.where(valid, out, 0).astype(jnp.uint16), totals
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def compact_entries_u8(entries, counts, cap: int):
+    """compact_entries + repack to uint8 (op << 6 | count).
+
+    Valid only when every run count fits 6 bits — true whenever
+    tb_limit <= 63, since a single run consumes at most tb_limit text or
+    pattern chars. Halves the device->host readback."""
+    out16, totals = compact_entries(entries, counts, cap)
+    ops = (out16 >> ENTRY_OP_SHIFT).astype(jnp.uint8)
+    cnts = (out16 & ENTRY_CNT_MASK).astype(jnp.uint8)
+    return ((ops << 6) | cnts).astype(jnp.uint8), totals
