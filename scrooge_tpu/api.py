@@ -121,7 +121,7 @@ def _fill_rows(buffer: np.ndarray, rows):
 
 
 def _resolve_backend(cfg: AlignConfig, batch: int):
-    """Pick the device engine: ("pallas", sublane_tile) or ("xla", 0).
+    """Pick the device engine: ("pallas", sk, kw) or ("xla", 0, 0).
 
     "auto" uses the Pallas kernel whenever the config's DP state fits VMEM
     (it is bit-identical to the XLA engine and much faster on TPU; off-TPU
@@ -135,18 +135,18 @@ def _resolve_backend(cfg: AlignConfig, batch: int):
     from .ops import engine_pallas
 
     if cfg.backend == "xla":
-        return "xla", 0
+        return "xla", 0, 0
     S = batch // 128
-    sk = engine_pallas.choose_sublane_tile(cfg, S)
+    sk, kw = engine_pallas.choose_kernel_shape(cfg, S)
     if cfg.backend == "pallas":
         if sk == 0:
             raise ValueError(
                 f"W={cfg.W} K={cfg.K} O={cfg.O} DP state does not fit VMEM; "
                 "use backend='xla'")
-        return "pallas", sk
+        return "pallas", sk, kw
     if sk > 0 and jax.default_backend() == "tpu":
-        return "pallas", sk
-    return "xla", 0
+        return "pallas", sk, kw
+    return "xla", 0, 0
 
 
 def _build_alignments(cfg, tile_pairs, res, stats, eds_host=None):
@@ -238,7 +238,7 @@ def align_pairs(
 
     from .ops import engine_pallas, engine_xla
 
-    engine, sk = _resolve_backend(cfg, cfg.batch_tile)
+    engine, sk, kw = _resolve_backend(cfg, cfg.batch_tile)
 
     text_codes = [encode_np(t) for t in texts]
     query_codes = [encode_np(q) for q in queries]
@@ -275,8 +275,7 @@ def align_pairs(
             args = _device_put_synced(text, tlen, pattern, plen)
         tns = time.perf_counter_ns()
         if engine == "pallas":
-            res = engine_pallas.align_batch(
-                cfg, maxw, sk, engine_pallas.DEFAULT_KW, *args)
+            res = engine_pallas.align_batch(cfg, maxw, sk, kw, *args)
         else:
             res = engine_xla.align_batch(cfg, maxw, *args)
         # sync via a tiny readback: block_until_ready can return early on
@@ -331,7 +330,7 @@ def align_reads(
 
     from .ops import engine_pallas, engine_xla
 
-    engine, sk = _resolve_backend(cfg, cfg.batch_tile)
+    engine, sk, kw = _resolve_backend(cfg, cfg.batch_tile)
 
     genome_codes = encode_np(reference.content)
     glen = len(genome_codes)
@@ -355,6 +354,13 @@ def align_reads(
     results: List[Optional[Alignment]] = [None] * len(pairs)
 
     tile_size = cfg.batch_tile
+    n_tiles = -(-len(order) // tile_size) if order else 0
+    pool = None
+    if n_tiles > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=1)
+    pending = None
     for t0 in range(0, len(order), tile_size):
         idxs = order[t0 : t0 + tile_size]
         B = tile_size
@@ -388,25 +394,38 @@ def align_reads(
         tns = time.perf_counter_ns()
         if engine == "pallas":
             res = engine_pallas.align_batch_mapped(
-                cfg, maxw, sk, engine_pallas.DEFAULT_KW, genome_dev, *args)
+                cfg, maxw, sk, kw, genome_dev, *args)
         else:
             res = engine_xla.align_batch_mapped(cfg, maxw, genome_dev, *args)
         eds_host = np.asarray(res.edit_distance)
         stats.core_ns += time.perf_counter_ns() - tns
 
-        eds, cigars, failed = _build_alignments(cfg, idxs, res, stats,
-                                                eds_host)
-        for lane, i in enumerate(idxs):
-            if failed[lane]:
-                stats.retried_pairs += 1
-                start = pairs[i][0]
-                end = min(glen, start + int(tlen[lane]))
-                results[i] = _retry_pyref(cfg, genome_codes[start:end],
-                                          query_codes[i], i)
-            else:
-                results[i] = Alignment(cigar=cigars[lane],
-                                       edit_distance=int(eds[lane]))
+        def postprocess(idxs=idxs, res=res, eds_host=eds_host, tlen=tlen):
+            eds, cigars, failed = _build_alignments(cfg, idxs, res, stats,
+                                                    eds_host)
+            for lane, i in enumerate(idxs):
+                if failed[lane]:
+                    stats.retried_pairs += 1
+                    start = pairs[i][0]
+                    end = min(glen, start + int(tlen[lane]))
+                    results[i] = _retry_pyref(cfg, genome_codes[start:end],
+                                              query_codes[i], i)
+                else:
+                    results[i] = Alignment(cigar=cigars[lane],
+                                           edit_distance=int(eds[lane]))
 
+        # overlap host post-processing of this tile with the next tile's
+        # device work (readback + C++ formatting release the GIL)
+        if pending is not None:
+            pending.result()
+        pending = pool.submit(postprocess) if pool is not None else None
+        if pending is None:
+            postprocess()
+
+    if pending is not None:
+        pending.result()
+    if pool is not None:
+        pool.shutdown()
     _log_throughput(stats)
     return (results, stats) if return_stats else results
 

@@ -87,25 +87,34 @@ def kernel_vmem_bytes(cfg: AlignConfig, sk: int, kw: int = DEFAULT_KW) -> int:
     return r + ff + pmi + upat + pmc + ent + 2 * io
 
 
-VMEM_BUDGET = 28 << 20  # v5e has headroom beyond this; keep margin
+# A 72MB-scratch kernel (W=128, sk=8, kw=4) compiles and runs on v5e;
+# leave margin for Mosaic temporaries above that empirical point.
+VMEM_BUDGET = 76 << 20
+
+
+def choose_kernel_shape(cfg: AlignConfig, S: int,
+                        budget_bytes: int = VMEM_BUDGET):
+    """(sublane tile, windows-per-slab) for a batch of S sublane groups.
+
+    Mosaic block constraint: the sublane block dim must be a multiple of 8
+    or equal to the full dimension. sk=16 x kw=8 measures fastest at the
+    default config; smaller shapes trade slab fusion for VMEM so larger-W
+    configs (W=128 at ~72MB scratch) still run on the Pallas engine.
+    Returns (0, 0) when nothing fits.
+    """
+    candidates = [min(16, S), min(8, S)]
+    for sk in dict.fromkeys(candidates):
+        if sk <= 0 or S % sk:
+            continue
+        for kw in (DEFAULT_KW, 4, 2, 1):
+            if kernel_vmem_bytes(cfg, sk, kw) <= budget_bytes:
+                return sk, kw
+    return 0, 0
 
 
 def choose_sublane_tile(cfg: AlignConfig, S: int,
                         budget_bytes: int = VMEM_BUDGET) -> int:
-    """Sublane tile for a batch of S sublane groups (S a power of two).
-
-    Mosaic block constraint: the sublane block dim must be a multiple of 8
-    or equal to the full dimension. sk=16 measures fastest at the default
-    config; fall back toward min(8, S) under the VMEM budget.
-    """
-    for sk in (16, 8):
-        if sk <= S and S % sk == 0 and \
-                kernel_vmem_bytes(cfg, sk) <= budget_bytes:
-            return sk
-    sk = min(8, S)
-    if S % sk == 0 and kernel_vmem_bytes(cfg, sk) <= budget_bytes:
-        return sk
-    return 0
+    return choose_kernel_shape(cfg, S, budget_bytes)[0]
 
 
 def fits_vmem(cfg: AlignConfig, budget_bytes: int = VMEM_BUDGET) -> bool:

@@ -106,7 +106,7 @@ def test_pallas_vmem_fallback_resolution():
 
     big = _AC(W=256, K=256, O=129)
     assert not engine_pallas.fits_vmem(big)
-    engine, _ = _resolve_backend(big, 1024)
+    engine, _, _ = _resolve_backend(big, 1024)
     assert engine == "xla"
     with pytest.raises(ValueError, match="does not fit VMEM"):
         _resolve_backend(_AC(W=256, K=256, O=129, backend="pallas"), 1024)
