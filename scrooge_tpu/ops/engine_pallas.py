@@ -97,12 +97,13 @@ def choose_kernel_shape(cfg: AlignConfig, S: int,
     """(sublane tile, windows-per-slab) for a batch of S sublane groups.
 
     Mosaic block constraint: the sublane block dim must be a multiple of 8
-    or equal to the full dimension. sk=16 x kw=8 measures fastest at the
-    default config; smaller shapes trade slab fusion for VMEM so larger-W
-    configs (W=128 at ~72MB scratch) still run on the Pallas engine.
-    Returns (0, 0) when nothing fits.
+    or equal to the full dimension. sk=32 x kw=8 measures fastest at the
+    default config (fewer grid steps; the coarser per-tile early-
+    termination coupling costs less than the amortization gains); smaller
+    shapes trade slab fusion for VMEM so larger-W configs (W=128 at ~72MB
+    scratch) still run on the Pallas engine. Returns (0, 0) if nothing fits.
     """
-    candidates = [min(16, S), min(8, S)]
+    candidates = [min(32, S), min(16, S), min(8, S)]
     for sk in dict.fromkeys(candidates):
         if sk <= 0 or S % sk:
             continue
