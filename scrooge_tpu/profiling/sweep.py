@@ -67,6 +67,11 @@ def _load(dataset: str, datasets_dir: Path):
 def _run_throughput(genome, reads, cfg: AlignConfig, data: List,
                     threads_col: int):
     try:
+        # warmup pass: jit compilation happens here, not in the timed run
+        # (the reference recompiles per config but times only the binary's
+        # kernel section, profile.py:28-63)
+        api.align_reads(genome, reads[: min(len(reads), cfg.batch_tile)],
+                        cfg)
         _, stats = api.align_reads(genome, reads, cfg, return_stats=True)
     except Exception as e:  # config failed: record nothing, keep sweeping
         print(f"config failed ({e})", file=sys.stderr)
