@@ -28,7 +28,7 @@ BASELINE_ALIGNS_PER_S = 25_004.0
 
 
 def main():
-    num_reads = int(os.environ.get("BENCH_READS", "16384"))
+    num_reads = int(os.environ.get("BENCH_READS", "32768"))
     read_len = int(os.environ.get("BENCH_READ_LEN", "10000"))
     genome_len = int(os.environ.get("BENCH_GENOME", "1000000"))
 
@@ -37,7 +37,7 @@ def main():
     from scrooge_tpu.utils.simulate import simulate_dataset
 
     cfg = AlignConfig(W=64, K=64, O=33, early_termination=True,
-                      batch_tile=int(os.environ.get("BENCH_TILE", "16384")))
+                      batch_tile=int(os.environ.get("BENCH_TILE", "32768")))
 
     ds = simulate_dataset(genome_len=genome_len, num_reads=num_reads,
                           read_len=read_len, accuracy=0.95, seed=7)
