@@ -286,11 +286,15 @@ def _multi_window_kernel(cfg: AlignConfig, kw: int,
         # already computed for A), so ff is read once and written once per
         # TWO rows and the loop runs (W+2) steps per two rows instead of
         # 2(W+1). The recurrence itself is exactly genasm_cpu.cpp:246-251.
-        def d_body(st):
+        def make_pair_body(is_zero):
+            # is_zero is a PYTHON bool: the d=0 pair is peeled out of the
+            # while_loop so general rows skip the is_zero select entirely
+            return functools.partial(_pair_body, is_zero)
+
+        def _pair_body(is_zero, st):
             d, found, wed = st
             ones_a = _ones_shifted_u32(s + d, W, NW)
             ones_b = _ones_shifted_u32(s + d + 1, W, NW)
-            is_zero = d == 0
 
             def i_body(step, carry):
                 i = W - step  # W .. -1
@@ -315,8 +319,10 @@ def _multi_window_kernel(cfg: AlignConfig, kw: int,
                 cB = []
                 for w in range(NW):
                     matA = sh_rA[w] | cur_pm[w]
-                    fullA = matA & sh_trA[w] & sh_tA[w] & trA[w]
-                    nsA = jnp.where(is_zero, matA, fullA)
+                    if is_zero:
+                        nsA = matA
+                    else:
+                        nsA = matA & sh_trA[w] & sh_tA[w] & trA[w]
                     cA.append(jnp.where(startA, ones_a[w], nsA))
                     matB = sh_rB[w] | pm_prev[w]
                     # terms: shl1(topright_B)=sh_trB, shl1(top_B)=sh_rA,
@@ -384,8 +390,11 @@ def _multi_window_kernel(cfg: AlignConfig, kw: int,
 
         found0 = jnp.zeros(lane, jnp.int32)
         wed0 = jnp.zeros(lane, jnp.int32)
+        # peel the d=0 pair (match-only recurrence on row 0), then loop
+        # the general pairs from d=2
+        st1 = make_pair_body(True)((jnp.int32(0), found0, wed0))
         _, found_i, wed = lax.while_loop(
-            d_cond, d_body, (jnp.int32(0), found0, wed0))
+            d_cond, make_pair_body(False), st1)
         found = found_i != 0
         wed = jnp.where(found, wed, 0)
 
