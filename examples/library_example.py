@@ -8,6 +8,18 @@ Pallas on TPU automatically).
 Run: python examples/library_example.py
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                os.pardir))
+# persistent compile cache (first run compiles; later runs start hot)
+_cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      os.pardir, ".jax_cache")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _cache)
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
 import scrooge_tpu
 from scrooge_tpu import AlignConfig, CandidateLocation, Genome, Read
 
