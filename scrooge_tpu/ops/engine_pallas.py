@@ -37,6 +37,7 @@ public API.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -60,6 +61,13 @@ from .engine_xla import (
 LANE = 128
 CHARS_PER_WORD = 16  # 2-bit codes per uint32
 DEFAULT_KW = 8  # windows fused per kernel invocation
+
+# Measurement knob: run one kernel section TWICE (a bit-identical rerun,
+# every section is idempotent), so bench(full doubled-X) - bench(full)
+# isolates section X's cost under realistic data-dependent control flow.
+# Values: "pm2" (pattern unpack+bitmask build), "fill2" (DP fill),
+# "tb2" (traceback). Never set in production paths.
+_ABLATE = os.environ.get("SCROOGE_ABLATE", "")
 
 
 def slab_chars(cfg: AlignConfig, kw: int) -> int:
@@ -244,39 +252,49 @@ def _multi_window_kernel(cfg: AlignConfig, kw: int,
         m = jnp.where(done != 0, 0, jnp.clip(plen - read_idx, 0, W))
         n = jnp.where(done != 0, 0, jnp.clip(tlen - ref_idx, 0, W))
         s = W - m
+        # steps needing the start-column select: per lane, step <= W-n+1.
+        # Done lanes (n forced 0) compute garbage on the fast path; every
+        # read of their results is masked, and d_cond treats them as found.
+        n_split = jnp.min(jnp.where(done != 0, W, n))
+        split = jnp.clip(W - n_split + 2, 2, W + 2)
         lane_ones = _ones_shifted_u32(s, W, NW)
         toff = toff0 + 2 * (ref_idx - ref0)
         poff = poff0 + 2 * (read_idx - read0)
 
-        # ---- unpack the pattern window from the slab into upat ----
-        for j in range(W):
-            upat_ref[j] = _unpack_char(pwords, poff + 2 * j, NWD)
+        def build_pm():
+            # ---- unpack the pattern window from the slab into upat ----
+            for j in range(W):
+                upat_ref[j] = _unpack_char(pwords, poff + 2 * j, NWD)
 
-        # ---- pattern bitmasks (genasm_cpu.cpp:178-198, MSB-aligned):
-        # global bit gb holds pattern position j = W-1-gb, valid iff
-        # gb >= s ----
-        pmc = [[None] * NW for _ in range(4)]
-        for c in range(4):
-            for w in range(NW):
-                acc = jnp.zeros(lane, jnp.uint32)
-                bits_here = min(32, W - 32 * w)
-                for b in range(bits_here):
-                    gb = 32 * w + b
-                    pos = upat_ref[W - 1 - gb]
-                    match = (pos == c) & (gb >= s)
-                    acc = acc | (match.astype(jnp.uint32) << b)
-                pmc[c][w] = (~acc) & lane_ones[w]
+            # ---- pattern bitmasks (genasm_cpu.cpp:178-198, MSB-aligned):
+            # global bit gb holds pattern position j = W-1-gb, valid iff
+            # gb >= s ----
+            pmc = [[None] * NW for _ in range(4)]
+            for c in range(4):
+                for w in range(NW):
+                    acc = jnp.zeros(lane, jnp.uint32)
+                    bits_here = min(32, W - 32 * w)
+                    for b in range(bits_here):
+                        gb = 32 * w + b
+                        pos = upat_ref[W - 1 - gb]
+                        match = (pos == c) & (gb >= s)
+                        acc = acc | (match.astype(jnp.uint32) << b)
+                    pmc[c][w] = (~acc) & lane_ones[w]
 
-        def pm_body(i, _):
-            t = _unpack_char(twords, toff + 2 * i, NWD)
-            for w in range(NW):
-                word = pmc[0][w]
-                for c in range(1, 4):
-                    word = jnp.where(t == c, pmc[c][w], word)
-                pmi_ref[i, w] = word
-            return 0
+            def pm_body(i, _):
+                t = _unpack_char(twords, toff + 2 * i, NWD)
+                for w in range(NW):
+                    word = pmc[0][w]
+                    for c in range(1, 4):
+                        word = jnp.where(t == c, pmc[c][w], word)
+                    pmi_ref[i, w] = word
+                return 0
 
-        lax.fori_loop(0, W, pm_body, 0)
+            lax.fori_loop(0, W, pm_body, 0)
+
+        build_pm()
+        if _ABLATE == "pm2":
+            build_pm()
 
         # ---- DP fill (genasm_cpu.cpp:210-288), two rows per i-pass ----
         # Rows d (A) and d+1 (B) advance in one wavefront: at loop index i,
@@ -296,7 +314,7 @@ def _multi_window_kernel(cfg: AlignConfig, kw: int,
             ones_a = _ones_shifted_u32(s + d, W, NW)
             ones_b = _ones_shifted_u32(s + d + 1, W, NW)
 
-            def i_body(step, carry):
+            def i_body(with_start, step, carry):
                 i = W - step  # W .. -1
                 # A deps (row d, col i): rA = center_A(i+1), trA = top(i+1)
                 # = ff value read last step, sh_trA = its cached shift.
@@ -313,8 +331,9 @@ def _multi_window_kernel(cfg: AlignConfig, kw: int,
                 sh_rA = _shl1_u32(rA, W)
                 sh_tA = _shl1_u32(top, W)
                 sh_rB = _shl1_u32(rB, W)
-                startA = i >= n
-                startB = (i + 1) >= n
+                if with_start:
+                    startA = i >= n
+                    startB = (i + 1) >= n
                 cA = []
                 cB = []
                 for w in range(NW):
@@ -323,12 +342,16 @@ def _multi_window_kernel(cfg: AlignConfig, kw: int,
                         nsA = matA
                     else:
                         nsA = matA & sh_trA[w] & sh_tA[w] & trA[w]
-                    cA.append(jnp.where(startA, ones_a[w], nsA))
+                    if with_start:
+                        nsA = jnp.where(startA, ones_a[w], nsA)
+                    cA.append(nsA)
                     matB = sh_rB[w] | pm_prev[w]
                     # terms: shl1(topright_B)=sh_trB, shl1(top_B)=sh_rA,
                     # raw topright_B = trB (center_A at col i+2)
                     fullB = matB & sh_trB[w] & sh_rA[w] & trB[w]
-                    cB.append(jnp.where(startB, ones_b[w], fullB))
+                    if with_start:
+                        fullB = jnp.where(startB, ones_b[w], fullB)
+                    cB.append(fullB)
 
                 # writes: A is valid for i in [0, W]; B's column i+1 is
                 # valid for i in [-1, W-1]. Out-of-range steps write to
@@ -348,14 +371,6 @@ def _multi_window_kernel(cfg: AlignConfig, kw: int,
                 for w in range(NWH):
                     R_ref[rowB, bcol, w] = cB[FTW + w]
 
-                # capture the i==0 centers (the full-match probe column)
-                # into dedicated ff scratch rows via scalar-select indices;
-                # carrying them as loop state trips Mosaic layout
-                # unification (splat inits pin a replicated layout)
-                rowPA = jnp.where(i == 0, W + 2, W + 1)
-                ff_ref[rowPA, NW - 1] = cA[NW - 1]
-                rowPB = jnp.where(i == -1, W + 3, W + 1)
-                ff_ref[rowPB, NW - 1] = cB[NW - 1]
                 return (tuple(cA), tuple(top), tuple(sh_tA),
                         tuple(cB), tuple(rA), tuple(sh_rA),
                         tuple(cur_pm))
@@ -365,10 +380,21 @@ def _multi_window_kernel(cfg: AlignConfig, kw: int,
             # pin a replicated register layout through the pure-passthrough
             # carry slots (trB = previous rA), which Mosaic then cannot
             # unify with the computed values' layouts.
+            #
+            # Steps [0, split) run the start-select body; beyond split no
+            # lane can hit a start column (split = W - min(n) + 2), so the
+            # remaining steps drop the two compares and 2*NW selects.
             z = tuple(ff_ref[W + 1, w] for w in range(NW))
-            lax.fori_loop(0, W + 2, i_body, (z, z, z, z, z, z, z))
-            probeA = ff_ref[W + 2, NW - 1]
-            probeB = ff_ref[W + 3, NW - 1]
+            mid = lax.fori_loop(0, split,
+                                functools.partial(i_body, True),
+                                (z, z, z, z, z, z, z))
+            fc = lax.fori_loop(split, W + 2,
+                               functools.partial(i_body, False), mid)
+            # the i==0 centers (full-match probe column) fall out of the
+            # final carry: slot 4 (trB) = cA of the i==0 step, slot 3 (rB)
+            # = cB of the i==-1 step, whose B column is 0.
+            probeA = fc[4][NW - 1]
+            probeB = fc[3][NW - 1]
 
             hitA = ((probeA >> top_bit_off) & 1) == 0
             newlyA = hitA & (found == 0)
@@ -385,22 +411,27 @@ def _multi_window_kernel(cfg: AlignConfig, kw: int,
             d, found, _ = st
             in_range = d <= K
             if cfg.early_termination:
-                return in_range & ~jnp.all(found != 0)
+                # done lanes may never probe a match (their fill is
+                # garbage past the select split) — treat them as found
+                return in_range & ~jnp.all((found != 0) | (done != 0))
             return in_range
 
-        found0 = jnp.zeros(lane, jnp.int32)
-        wed0 = jnp.zeros(lane, jnp.int32)
-        # peel the d=0 pair (match-only recurrence on row 0), then loop
-        # the general pairs from d=2
-        st1 = make_pair_body(True)((jnp.int32(0), found0, wed0))
-        _, found_i, wed = lax.while_loop(
-            d_cond, make_pair_body(False), st1)
-        found = found_i != 0
-        wed = jnp.where(found, wed, 0)
+        def run_fill():
+            found0 = jnp.zeros(lane, jnp.int32)
+            wed0 = jnp.zeros(lane, jnp.int32)
+            # peel the d=0 pair (match-only recurrence on row 0), then
+            # loop the general pairs from d=2
+            st1 = make_pair_body(True)((jnp.int32(0), found0, wed0))
+            _, found_i, wed_ = lax.while_loop(
+                d_cond, make_pair_body(False), st1)
+            fnd = found_i != 0
+            return fnd, jnp.where(fnd & (done == 0), wed_, 0)
+
+        found, wed = run_fill()
+        if _ABLATE == "fill2":
+            found, wed = run_fill()
 
         # ---- traceback (genasm_cpu.cpp:290-409), lockstep d-level sweep
-        ent_ref[...] = jnp.zeros((NE,) + lane, jnp.int32)
-
         def level_body(st):
             lvl, i, j, dd, fin, cur_op, cur_cnt, nfl = st
 
@@ -417,7 +448,10 @@ def _multi_window_kernel(cfg: AlignConfig, kw: int,
                 act = active & ~term
 
                 # one sweep over the columns selects the row-(lvl-1)
-                # entry words at per-lane columns i (A) and i+1 (B)
+                # entry words at per-lane columns i (A) and i+1 (B).
+                # (A dynamic-bounded [min_i, max_i+2) sweep measured 14%
+                # SLOWER end-to-end: the while-lowered loop + two cross-
+                # lane reductions beat the static sweep's savings.)
                 selA = [jnp.zeros(lane, jnp.uint32) for _ in range(NWH)]
                 selB = [jnp.zeros(lane, jnp.uint32) for _ in range(NWH)]
                 ip1 = i_ + 1
@@ -478,37 +512,44 @@ def _multi_window_kernel(cfg: AlignConfig, kw: int,
                 (i, j, dd, fin, cur_op, cur_cnt, nfl, jnp.int32(0)))
             return lvl - 1, i, j, dd, fin, cur_op, cur_cnt, nfl
 
-        i0 = jnp.zeros(lane, jnp.int32)
-        j0 = jnp.zeros(lane, jnp.int32)
-        fin0 = (j0 >= m).astype(jnp.int32)
-        nfl0 = jnp.zeros(lane, jnp.int32)
-        cur_op0 = jnp.full(lane, OP_NONE, jnp.int32)
-        cur_cnt0 = jnp.zeros(lane, jnp.int32)
-        max_d = jnp.max(wed)
-        _, i, j, dd, fin, cur_op, cur_cnt, nfl = lax.while_loop(
-            lambda st: st[0] >= 1, level_body,
-            (max_d, i0, j0, wed, fin0, cur_op0, cur_cnt0, nfl0))
+        def run_tb():
+            ent_ref[...] = jnp.zeros((NE,) + lane, jnp.int32)
+            i0 = jnp.zeros(lane, jnp.int32)
+            j0 = jnp.zeros(lane, jnp.int32)
+            fin0 = (j0 >= m).astype(jnp.int32)
+            nfl0 = jnp.zeros(lane, jnp.int32)
+            cur_op0 = jnp.full(lane, OP_NONE, jnp.int32)
+            cur_cnt0 = jnp.zeros(lane, jnp.int32)
+            max_d = jnp.max(wed)
+            _, i, j, dd, fin, cur_op, cur_cnt, nfl = lax.while_loop(
+                lambda st: st[0] >= 1, level_body,
+                (max_d, i0, j0, wed, fin0, cur_op0, cur_cnt0, nfl0))
 
-        # final d==0 phase: closed-form '=' run (check-before-step)
-        active0 = (fin == 0) & (dd == 0)
-        run = jnp.minimum(jnp.minimum(m - j, TB - i), TB - j)
-        run = jnp.where(active0, jnp.maximum(run, 0), 0)
-        has_run = run > 0
-        same = has_run & (cur_op == OP_EQ) & (cur_cnt > 0)
-        do_flush = has_run & ~same & (cur_cnt > 0)
-        nfl = flush(nfl, cur_op, cur_cnt, do_flush)
-        cur_cnt = jnp.where(has_run,
-                            jnp.where(same, cur_cnt + run, run), cur_cnt)
-        cur_op = jnp.where(has_run, OP_EQ, cur_op)
-        i = i + run
-        j = j + run
+            # final d==0 phase: closed-form '=' run (check-before-step)
+            active0 = (fin == 0) & (dd == 0)
+            run = jnp.minimum(jnp.minimum(m - j, TB - i), TB - j)
+            run = jnp.where(active0, jnp.maximum(run, 0), 0)
+            has_run = run > 0
+            same = has_run & (cur_op == OP_EQ) & (cur_cnt > 0)
+            do_flush = has_run & ~same & (cur_cnt > 0)
+            nfl = flush(nfl, cur_op, cur_cnt, do_flush)
+            cur_cnt = jnp.where(has_run,
+                                jnp.where(same, cur_cnt + run, run),
+                                cur_cnt)
+            cur_op = jnp.where(has_run, OP_EQ, cur_op)
+            i = i + run
+            j = j + run
 
-        # trailing flush (genasm_cpu.cpp:400-403)
-        nfl = flush(nfl, cur_op, cur_cnt, cur_cnt > 0)
+            # trailing flush (genasm_cpu.cpp:400-403)
+            nfl = flush(nfl, cur_op, cur_cnt, cur_cnt > 0)
 
-        # each emitted edit op decremented dd by exactly one, so the edits
-        # actually used by the kept traceback prefix are wed - dd
-        edits_used = wed - dd
+            # each emitted edit op decremented dd by exactly one, so the
+            # edits actually used by the kept traceback prefix = wed - dd
+            return i, j, wed - dd, nfl
+
+        i, j, edits_used, nfl = run_tb()
+        if _ABLATE == "tb2":
+            i, j, edits_used, nfl = run_tb()
 
         # ---- carry update (genasm_cpu.cpp:432-435) ----
         active = done == 0
@@ -583,9 +624,8 @@ def slab_step_kernel(cfg: AlignConfig, kw: int, sk: int,
         # last pair when K is even (never read by the traceback)
         pltpu.VMEM((cfg.rows + 1, cfg.columns, cfg.num_tb_words, sk, LANE),
                    jnp.uint32),  # R
-        # W+4: slot W+1 is the wavefront's dummy sink, W+2/W+3 hold the
-        # full-match probe columns of the two rows
-        pltpu.VMEM((W + 4, cfg.num_words, sk, LANE), jnp.uint32),  # forefront
+        # W+2: slot W+1 is the wavefront's dummy sink (and the carry init)
+        pltpu.VMEM((W + 2, cfg.num_words, sk, LANE), jnp.uint32),  # forefront
         pltpu.VMEM((W, cfg.num_words, sk, LANE), jnp.uint32),  # pmi
         pltpu.VMEM((W, sk, LANE), jnp.int32),  # unpacked pattern chars
         pltpu.VMEM((NE, sk, LANE), jnp.int32),  # per-window entry scratch
