@@ -149,18 +149,29 @@ def _resolve_backend(cfg: AlignConfig, batch: int):
     return "xla", 0, 0
 
 
-def _build_alignments(cfg, tile_pairs, res, stats, eds_host=None):
+def _build_alignments(cfg, tile_pairs, res, stats, eds_host=None,
+                      sparse_rows=False):
     """Stringify device results and collect failures.
 
     The per-window run buffer is worst-case sized, so it is compacted on
     device to the actual run count before readback (device->host bandwidth
     is the scarce resource), then formatted to strings in C++.
+    sparse_rows selects the Pallas engine's sparse-row entry layout
+    (engine_pallas.compact_entries_sparse) over the dense engine_xla one.
     """
     import jax.numpy as jnp
 
     from . import native
+    from .ops.engine_pallas import (
+        compact_entries_sparse,
+        compact_entries_sparse_u8,
+    )
     from .ops.engine_xla import compact_entries, compact_entries_u8
     from .ops.postprocess import entries_to_cigars
+
+    if sparse_rows:
+        compact_entries = compact_entries_sparse
+        compact_entries_u8 = compact_entries_sparse_u8
 
     t0 = time.perf_counter_ns()
     # compact on device first: the raw run buffer is worst-case sized and
@@ -283,8 +294,9 @@ def align_pairs(
         eds_host = np.asarray(res.edit_distance)
         stats.core_ns += time.perf_counter_ns() - tns
 
-        eds, cigars, failed = _build_alignments(cfg, idxs, res, stats,
-                                                eds_host)
+        eds, cigars, failed = _build_alignments(
+            cfg, idxs, res, stats, eds_host,
+            sparse_rows=(engine == "pallas"))
         for lane, i in enumerate(idxs):
             if failed[lane]:
                 stats.retried_pairs += 1
@@ -401,8 +413,9 @@ def align_reads(
         stats.core_ns += time.perf_counter_ns() - tns
 
         def postprocess(idxs=idxs, res=res, eds_host=eds_host, tlen=tlen):
-            eds, cigars, failed = _build_alignments(cfg, idxs, res, stats,
-                                                    eds_host)
+            eds, cigars, failed = _build_alignments(
+                cfg, idxs, res, stats, eds_host,
+                sparse_rows=(engine == "pallas"))
             for lane, i in enumerate(idxs):
                 if failed[lane]:
                     stats.retried_pairs += 1

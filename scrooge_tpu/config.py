@@ -80,6 +80,18 @@ class AlignConfig:
         return self.K + 1
 
     @property
+    def tb_cap(self) -> int:
+        """Device-engine cap on per-window edit distance (Pallas engine
+        only): DP rows stored for traceback and d-levels searched. A
+        window that finds no alignment within tb_cap edits fails its lane
+        to the bit-exact scalar retry path — at min(K, 32) that is
+        unreachable for realistic read accuracies (P[window edit distance
+        > 32] < 1e-9 even at 80% accuracy) while keeping the R scratch and
+        the traceback-row buffers small. The XLA engine always searches
+        the full K (it is the fallback the retry path relies on)."""
+        return min(self.K, 32)
+
+    @property
     def num_words(self) -> int:
         """uint32 words per full-width bitvector."""
         return (self.W + 31) // 32

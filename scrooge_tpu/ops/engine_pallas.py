@@ -24,9 +24,14 @@ TPU-first design decisions (deliberately NOT the GPU mapping):
    consumed counts, which only the kernel knows).
  - early termination is batched per lane-tile: the d-loop is a while_loop
    that stops once every lane in the tile has found its window distance.
- - traceback is a lockstep d-level sweep reading R rows from VMEM; the
-   CIGAR-run flush is predicated on any-lane-flushing, which removes ~90%
-   of its VMEM traffic at realistic error rates.
+ - traceback is a lockstep d-level sweep reading R rows from VMEM; run
+   emission is per LEVEL: a pending-edit-run register carry merges
+   cross-level runs (e.g. "III") and each level ends with two
+   scalar-indexed row stores, leaving sparse rows whose non-empty slots
+   are complete maximal runs. A per-run in-kernel flush (masked RMW over
+   the whole entry scratch at a per-lane slot) measured ~52% of kernel
+   time; per-level stores + sparse-aware device compaction
+   (compact_entries_sparse) replace it.
 
 The kernel grid runs over lane tiles of the batch; slabs advance in an
 outer XLA lax.scan. Outputs are bit-identical to engine_xla —
@@ -50,6 +55,7 @@ from ..config import AlignConfig
 from . import bitvec as bv
 from .engine_xla import (
     BatchResult,
+    ENTRY_CNT_MASK,
     ENTRY_OP_SHIFT,
     OP_D,
     OP_EQ,
@@ -81,16 +87,24 @@ def slab_words(cfg: AlignConfig, kw: int) -> int:
     return -(-slab_chars(cfg, kw) // CHARS_PER_WORD) + 1
 
 
+def tb_rows(cfg: AlignConfig) -> int:
+    """Per-window traceback row budget: two rows per d-level (a pending
+    edit-run flush and the '='-run of that level) plus the closing pending
+    flush + d==0 '=' row pair. Rows are SPARSE (empty slots are 0) but
+    every non-empty row is a complete maximal CIGAR run, in order;
+    compact_entries_sparse consumes them directly."""
+    return 2 * cfg.tb_cap + 2
+
+
 def kernel_vmem_bytes(cfg: AlignConfig, sk: int, kw: int = DEFAULT_KW) -> int:
     """Approximate VMEM footprint of the window kernel for sublane tile sk."""
     lane_b = sk * LANE * 4
-    r = cfg.rows * cfg.columns * cfg.num_tb_words * lane_b
+    r = (cfg.tb_cap + 2) * cfg.columns * cfg.num_tb_words * lane_b
     ff = (cfg.W + 1) * cfg.num_words * lane_b
     pmi = cfg.W * cfg.num_words * lane_b
     upat = cfg.W * lane_b
     pmc = 4 * cfg.num_words * lane_b
-    ne = 2 * max(cfg.tb_limit, 1) + 2
-    ent = (kw + 1) * ne * lane_b
+    ent = (kw + 1) * tb_rows(cfg) * lane_b
     io = 2 * slab_words(cfg, kw) * lane_b + 16 * lane_b
     return r + ff + pmi + upat + pmc + ent + 2 * io
 
@@ -212,11 +226,12 @@ def _multi_window_kernel(cfg: AlignConfig, kw: int,
     Window semantics: genasm_cpu.cpp:210-438 (fill, traceback, windowing).
     """
     W, K, O = cfg.W, cfg.K, cfg.O
+    DCAP = cfg.tb_cap  # d-search cap; deeper windows fail to retry
     NW, FTW = cfg.num_words, cfg.first_tb_word
     NWH = cfg.num_tb_words
     COLS, TB = cfg.columns, cfg.tb_limit
     NWD = slab_words(cfg, kw)
-    NE = 2 * max(TB, 1) + 2
+    NE3 = tb_rows(cfg)
     sk = tlen_ref.shape[0]
     lane = (sk, LANE)
     top_bit_off = (W - 1) % 32
@@ -235,18 +250,6 @@ def _multi_window_kernel(cfg: AlignConfig, kw: int,
     failed = failed_in[...]
     ref0 = ref_idx
     read0 = read_idx
-
-    def flush(nfl, op, cnt, do_flush):
-        """Append packed (op, cnt) at per-lane slot nfl where do_flush;
-        the (NE, sk, 128) RMW only runs when some lane flushes."""
-        @pl.when(jnp.any(do_flush))
-        def _():
-            packed = (op << ENTRY_OP_SHIFT) | cnt
-            slot = lax.broadcasted_iota(jnp.int32, (NE,) + lane, 0)
-            mask = (slot == nfl[None]) & do_flush[None]
-            ent_ref[...] = jnp.where(mask, packed[None], ent_ref[...])
-
-        return nfl + do_flush.astype(jnp.int32)
 
     for k in range(kw):
         m = jnp.where(done != 0, 0, jnp.clip(plen - read_idx, 0, W))
@@ -358,7 +361,7 @@ def _multi_window_kernel(cfg: AlignConfig, kw: int,
                 # dummy slots (row K+1 of R, row W+1 of ff) via scalar
                 # index selects — pl.when-guarded stores trip a Mosaic
                 # relayout bug. ff ends up holding row d+1.
-                rowA = jnp.where(i >= 0, d, K + 1)
+                rowA = jnp.where(i >= 0, d, DCAP + 1)
                 icol = jnp.minimum(jnp.maximum(i, 0), COLS - 1)
                 for w in range(NWH):
                     R_ref[rowA, icol, w] = cA[FTW + w]
@@ -366,7 +369,8 @@ def _multi_window_kernel(cfg: AlignConfig, kw: int,
                 ffi = jnp.minimum(i + 1, W + 1)
                 for w in range(NW):
                     ff_ref[ffi, w] = cB[w]
-                rowB = jnp.where(i + 1 <= W, d + 1, K + 1)
+                rowB = jnp.where((i + 1 <= W) & (d + 1 <= DCAP),
+                                 d + 1, DCAP + 1)
                 bcol = jnp.minimum(i + 1, COLS - 1)
                 for w in range(NWH):
                     R_ref[rowB, bcol, w] = cB[FTW + w]
@@ -400,7 +404,7 @@ def _multi_window_kernel(cfg: AlignConfig, kw: int,
             newlyA = hitA & (found == 0)
             wed = jnp.where(newlyA, d, wed)
             found = jnp.where(newlyA, 1, found)
-            if_b_valid = (d + 1) <= K
+            if_b_valid = (d + 1) <= DCAP
             hitB = (((probeB >> top_bit_off) & 1) == 0) & if_b_valid
             newlyB = hitB & (found == 0)
             wed = jnp.where(newlyB, d + 1, wed)
@@ -409,7 +413,7 @@ def _multi_window_kernel(cfg: AlignConfig, kw: int,
 
         def d_cond(st):
             d, found, _ = st
-            in_range = d <= K
+            in_range = d <= DCAP
             if cfg.early_termination:
                 # done lanes may never probe a match (their fill is
                 # garbage past the select split) — treat them as found
@@ -432,16 +436,26 @@ def _multi_window_kernel(cfg: AlignConfig, kw: int,
             found, wed = run_fill()
 
         # ---- traceback (genasm_cpu.cpp:290-409), lockstep d-level sweep
+        #
+        # Emission is PER LEVEL, not per run: within one d-level a lane
+        # does a single '='-run followed by at most one edit op (the edit
+        # is what drops it to the next level), so each level needs exactly
+        # two scalar-indexed row stores. Runs that span levels (e.g. "III")
+        # are merged vectorized on the XLA side (merge_level_runs). This
+        # replaced a per-step masked RMW over the whole (NE, sk, 128)
+        # entry scratch, which the ablation knob measured at ~52% of total
+        # kernel time (the RMW traffic ran every step: with 4096 lanes per
+        # tile, some lane flushes at essentially every step).
         def level_body(st):
-            lvl, i, j, dd, fin, cur_op, cur_cnt, nfl = st
+            lvl, i, j, dd, fin, pend_op, pend_cnt, nfl = st
 
             def sub_cond(sst):
-                _, _, dd_, fin_, _, _, _, safety = sst
+                _, _, dd_, fin_, _, _, safety = sst
                 active = (fin_ == 0) & (dd_ == lvl)
                 return jnp.any(active) & (safety < TB + 2)
 
             def sub_body(sst):
-                i_, j_, dd_, fin_, cur_op_, cur_cnt_, nfl_, safety = sst
+                i_, j_, dd_, fin_, eq_, ed_, safety = sst
                 active = (fin_ == 0) & (dd_ == lvl)
                 term = active & ((j_ >= m) | (i_ >= TB) | (j_ >= TB))
                 fin_ = jnp.where(term, 1, fin_)
@@ -491,62 +505,74 @@ def _multi_window_kernel(cfg: AlignConfig, kw: int,
                     can_ins, OP_I,
                     jnp.where(can_del, OP_D,
                               jnp.where(can_sub, OP_X, OP_EQ)))
-                takes_i = (op == OP_D) | (op == OP_X) | (op == OP_EQ)
-                takes_j = (op == OP_I) | (op == OP_X) | (op == OP_EQ)
-                is_edit = op != OP_EQ
+                is_eq = op == OP_EQ
+                takes_i = op != OP_I
+                takes_j = op != OP_D
 
-                changed = act & (op != cur_op_)
-                do_flush = changed & (cur_cnt_ > 0)
-                nfl_ = flush(nfl_, cur_op_, cur_cnt_, do_flush)
-                cur_op_ = jnp.where(changed, op, cur_op_)
-                cur_cnt_ = jnp.where(act,
-                                     jnp.where(changed, 1, cur_cnt_ + 1),
-                                     cur_cnt_)
+                eq_ = eq_ + jnp.where(act & is_eq, 1, 0)
+                ed_ = jnp.where(act & ~is_eq, op, ed_)
                 i_ = i_ + jnp.where(act & takes_i, 1, 0)
                 j_ = j_ + jnp.where(act & takes_j, 1, 0)
-                dd_ = dd_ - jnp.where(act & is_edit, 1, 0)
-                return i_, j_, dd_, fin_, cur_op_, cur_cnt_, nfl_, safety + 1
+                dd_ = dd_ - jnp.where(act & ~is_eq, 1, 0)
+                return i_, j_, dd_, fin_, eq_, ed_, safety + 1
 
-            i, j, dd, fin, cur_op, cur_cnt, nfl, _ = lax.while_loop(
+            eq0 = jnp.zeros(lane, jnp.int32)
+            edn0 = jnp.full(lane, OP_NONE, jnp.int32)
+            i, j, dd, fin, eq, ed, _ = lax.while_loop(
                 sub_cond, sub_body,
-                (i, j, dd, fin, cur_op, cur_cnt, nfl, jnp.int32(0)))
-            return lvl - 1, i, j, dd, fin, cur_op, cur_cnt, nfl
+                (i, j, dd, fin, eq0, edn0, jnp.int32(0)))
+
+            # Emission with a pending-edit-run carry: consecutive same-op
+            # edits across levels (e.g. "III") accumulate in registers and
+            # flush as ONE row, so every non-empty row is already a
+            # MAXIMAL CIGAR run — no downstream merging. A lane with a
+            # pending run is always active at the next level (dd drops by
+            # exactly 1 per edit), so the carry can never skip its flush.
+            base = 2 * (max_d - lvl)
+            ext = ((eq == 0) & (ed != OP_NONE) & (ed == pend_op)
+                   & (pend_cnt > 0))
+            fl = (pend_cnt > 0) & ~ext
+            ent_ref[base] = jnp.where(
+                fl, (pend_op << ENTRY_OP_SHIFT) | pend_cnt, 0)
+            ent_ref[base + 1] = jnp.where(
+                eq > 0, (OP_EQ << ENTRY_OP_SHIFT) | eq, 0)
+            nfl = nfl + fl.astype(jnp.int32) + (eq > 0).astype(jnp.int32)
+            pend_cnt = jnp.where(ext, pend_cnt + 1,
+                                 jnp.where(ed != OP_NONE, 1, 0))
+            pend_op = ed  # when ext, ed == pend_op already
+            return lvl - 1, i, j, dd, fin, pend_op, pend_cnt, nfl
 
         def run_tb():
-            ent_ref[...] = jnp.zeros((NE,) + lane, jnp.int32)
+            ent_ref[...] = jnp.zeros((NE3,) + lane, jnp.int32)
             i0 = jnp.zeros(lane, jnp.int32)
             j0 = jnp.zeros(lane, jnp.int32)
             fin0 = (j0 >= m).astype(jnp.int32)
-            nfl0 = jnp.zeros(lane, jnp.int32)
-            cur_op0 = jnp.full(lane, OP_NONE, jnp.int32)
-            cur_cnt0 = jnp.zeros(lane, jnp.int32)
-            max_d = jnp.max(wed)
-            _, i, j, dd, fin, cur_op, cur_cnt, nfl = lax.while_loop(
+            pend_op0 = jnp.full(lane, OP_NONE, jnp.int32)
+            z0 = jnp.zeros(lane, jnp.int32)
+            _, i, j, dd, fin, pend_op, pend_cnt, nfl = lax.while_loop(
                 lambda st: st[0] >= 1, level_body,
-                (max_d, i0, j0, wed, fin0, cur_op0, cur_cnt0, nfl0))
+                (max_d, i0, j0, wed, fin0, pend_op0, z0, z0))
 
-            # final d==0 phase: closed-form '=' run (check-before-step)
+            # final d==0 phase: flush any pending edit run, then the
+            # closed-form '=' run (check-before-step)
             active0 = (fin == 0) & (dd == 0)
             run = jnp.minimum(jnp.minimum(m - j, TB - i), TB - j)
             run = jnp.where(active0, jnp.maximum(run, 0), 0)
-            has_run = run > 0
-            same = has_run & (cur_op == OP_EQ) & (cur_cnt > 0)
-            do_flush = has_run & ~same & (cur_cnt > 0)
-            nfl = flush(nfl, cur_op, cur_cnt, do_flush)
-            cur_cnt = jnp.where(has_run,
-                                jnp.where(same, cur_cnt + run, run),
-                                cur_cnt)
-            cur_op = jnp.where(has_run, OP_EQ, cur_op)
+            fl0 = pend_cnt > 0
+            ent_ref[2 * max_d] = jnp.where(
+                fl0, (pend_op << ENTRY_OP_SHIFT) | pend_cnt, 0)
+            ent_ref[2 * max_d + 1] = jnp.where(
+                run > 0, (OP_EQ << ENTRY_OP_SHIFT) | run, 0)
+            nfl = (nfl + fl0.astype(jnp.int32)
+                   + (run > 0).astype(jnp.int32))
             i = i + run
             j = j + run
-
-            # trailing flush (genasm_cpu.cpp:400-403)
-            nfl = flush(nfl, cur_op, cur_cnt, cur_cnt > 0)
 
             # each emitted edit op decremented dd by exactly one, so the
             # edits actually used by the kept traceback prefix = wed - dd
             return i, j, wed - dd, nfl
 
+        max_d = jnp.max(wed)
         i, j, edits_used, nfl = run_tb()
         if _ABLATE == "tb2":
             i, j, edits_used, nfl = run_tb()
@@ -563,7 +589,7 @@ def _multi_window_kernel(cfg: AlignConfig, kw: int,
         done = ((read_idx >= plen) | new_failed).astype(jnp.int32)
         failed = new_failed.astype(jnp.int32)
 
-        entries_ref[k * NE : (k + 1) * NE] = ent_ref[...]
+        entries_ref[k * NE3 : (k + 1) * NE3] = ent_ref[...]
         nfl_ref[k] = jnp.where(take, nfl, 0)
 
     ref_out[...] = ref_idx
@@ -586,7 +612,7 @@ def slab_step_kernel(cfg: AlignConfig, kw: int, sk: int,
     """
     W = cfg.W
     NWD = slab_words(cfg, kw)
-    NE = 2 * max(cfg.tb_limit, 1) + 2
+    NE3 = tb_rows(cfg)
     S = tlen.shape[0]
     assert S % sk == 0, (S, sk)
     grid = (S // sk,)
@@ -609,26 +635,27 @@ def slab_step_kernel(cfg: AlignConfig, kw: int, sk: int,
         jax.ShapeDtypeStruct((S, LANE), jnp.int32),  # ed
         jax.ShapeDtypeStruct((S, LANE), jnp.int32),  # done
         jax.ShapeDtypeStruct((S, LANE), jnp.int32),  # failed
-        jax.ShapeDtypeStruct((kw * NE, S, LANE), jnp.int32),  # entries
-        jax.ShapeDtypeStruct((kw, S, LANE), jnp.int32),  # nfl per window
+        jax.ShapeDtypeStruct((kw * NE3, S, LANE), jnp.int32),  # level runs
+        jax.ShapeDtypeStruct((kw, S, LANE), jnp.int32),  # runs per window
     ]
     out_specs = [
         lane2, lane2, lane2, lane2, lane2,
-        pl.BlockSpec((kw * NE, sk, LANE), ime, memory_space=pltpu.VMEM),
+        pl.BlockSpec((kw * NE3, sk, LANE), ime, memory_space=pltpu.VMEM),
         pl.BlockSpec((kw, sk, LANE), ime, memory_space=pltpu.VMEM),
     ]
     in_specs = [slab3, lane2, slab3, lane2, lane2, lane2,
                 lane2, lane2, lane2, lane2, lane2]
     scratch_shapes = [
-        # rows+1: the two-row wavefront writes a discarded row K+1 on the
-        # last pair when K is even (never read by the traceback)
-        pltpu.VMEM((cfg.rows + 1, cfg.columns, cfg.num_tb_words, sk, LANE),
+        # tb_cap+2 rows: the device engine caps the d-search at tb_cap
+        # (deeper windows fail to the exact retry path); the extra row is
+        # the wavefront's discard sink
+        pltpu.VMEM((cfg.tb_cap + 2, cfg.columns, cfg.num_tb_words, sk, LANE),
                    jnp.uint32),  # R
         # W+2: slot W+1 is the wavefront's dummy sink (and the carry init)
         pltpu.VMEM((W + 2, cfg.num_words, sk, LANE), jnp.uint32),  # forefront
         pltpu.VMEM((W, cfg.num_words, sk, LANE), jnp.uint32),  # pmi
         pltpu.VMEM((W, sk, LANE), jnp.int32),  # unpacked pattern chars
-        pltpu.VMEM((NE, sk, LANE), jnp.int32),  # per-window entry scratch
+        pltpu.VMEM((NE3, sk, LANE), jnp.int32),  # per-window level-run rows
     ]
     # off-TPU (tests, virtual CPU meshes) the kernel runs in interpreter
     # mode: slow but bit-identical, so parity tests cover the same code
@@ -666,6 +693,7 @@ def _align_scan(cfg: AlignConfig, sk: int, kw: int, max_windows: int,
     plen = pattern_len.astype(jnp.int32).reshape(lane)
     NWD = slab_words(cfg, kw)
     NE = 2 * max(cfg.tb_limit, 1) + 2
+    NE3 = tb_rows(cfg)
     n_steps = -(-max_windows // kw)
 
     Pw = pwords_all.shape[1]
@@ -684,7 +712,7 @@ def _align_scan(cfg: AlignConfig, sk: int, kw: int, max_windows: int,
     # while-based slab loop with early exit once every lane is done (a
     # fixed-length scan would run inert tail slabs: lanes finish at
     # data-dependent windows and maxw is a worst-case bound)
-    ents0 = jnp.zeros((n_steps, kw, NE, B), jnp.uint16)
+    ents0 = jnp.zeros((n_steps, kw, NE3, B), jnp.uint16)
     cnts0 = jnp.zeros((n_steps, kw, B), jnp.int32)
 
     def loop_cond(st):
@@ -714,7 +742,7 @@ def _align_scan(cfg: AlignConfig, sk: int, kw: int, max_windows: int,
             ref_idx, read_idx, ed, done, failed)
 
         ents = lax.dynamic_update_slice(
-            ents, entries_i.astype(jnp.uint16).reshape(1, kw, NE, B),
+            ents, entries_i.astype(jnp.uint16).reshape(1, kw, NE3, B),
             (step, 0, 0, 0))
         cnts = lax.dynamic_update_slice(
             cnts, nfl.reshape(1, kw, B), (step, 0, 0))
@@ -730,7 +758,9 @@ def _align_scan(cfg: AlignConfig, sk: int, kw: int, max_windows: int,
     return BatchResult(
         edit_distance=ed.reshape(B),
         failed=failed.reshape(B),
-        entries=entries.reshape(n_steps * kw, NE, B),
+        # SPARSE rows (tb_rows wide): non-empty slots are complete maximal
+        # runs in order; compact with compact_entries_sparse[_u8]
+        entries=entries.reshape(n_steps * kw, NE3, B),
         counts=counts.reshape(n_steps * kw, B).astype(jnp.int32),
     )
 
@@ -784,3 +814,77 @@ def align_batch_mapped(cfg: AlignConfig, max_windows: int, sk: int, kw: int,
 
     return _align_scan(cfg, sk, kw, max_windows, gather_text_words,
                        pattern_words, text_len, pattern_len)
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def compact_entries_sparse(entries, counts, cap: int):
+    """engine_xla.compact_entries for the Pallas engine's SPARSE rows.
+
+    entries: (MAXW, NE3, B) uint16 per-window traceback rows where empty
+    slots are 0 and each lane's non-empty slots hold its maximal CIGAR
+    runs in order; counts: (MAXW, B) int32 runs per window. Output slot g
+    of lane b holds the g-th run of that pair; slots >= total are 0.
+
+    Two-level search: the window by a binary search over the per-window
+    count prefix sums (as compact_entries), then the run's ROW inside the
+    window by a binary search over a per-window validity prefix sum. The
+    row prefix is built with log-depth pad-shift adds — XLA lowers
+    jnp.cumsum along a short axis to an O(L)-pass reduce-window on TPU,
+    which measured ~30x slower. Row lookups are flat jnp.take (fast path;
+    take_along_axis on wide operands is far slower, see
+    engine_xla.compact_entries notes).
+    """
+    maxw, ne3, b = entries.shape
+    # uint8 prefix (values <= ne3 < 256): this buffer spans the whole
+    # sparse run store, so width dominates the HBM high-water mark
+    valid = (entries != 0).astype(jnp.uint8)
+    vcum = valid
+    sh = 1
+    while sh < ne3:
+        vcum = vcum + jnp.pad(vcum, ((0, 0), (sh, 0), (0, 0)))[:, :ne3, :]
+        sh *= 2
+
+    cum = jnp.cumsum(counts, axis=0)  # inclusive, (MAXW, B)
+    totals = cum[-1]
+    g = jnp.arange(cap, dtype=jnp.int32)[:, None]  # (cap, 1)
+    lo = jnp.zeros((cap, b), jnp.int32)
+    hi = jnp.full((cap, b), maxw, jnp.int32)
+    for _ in range(max(1, maxw.bit_length())):
+        mid = (lo + hi) >> 1
+        cmid = jnp.take_along_axis(cum, jnp.minimum(mid, maxw - 1), axis=0)
+        go_right = cmid <= g
+        lo = jnp.where(go_right, mid + 1, lo)
+        hi = jnp.where(go_right, hi, mid)
+    w = jnp.minimum(lo, maxw - 1)
+    prev = jnp.where(w > 0,
+                     jnp.take_along_axis(cum, jnp.maximum(w - 1, 0), axis=0),
+                     0)
+    e = g - prev  # 0-based run index within window w
+
+    lane_iota = jnp.arange(b, dtype=jnp.int32)[None, :]
+    vflat = vcum.reshape(-1)
+    lo2 = jnp.zeros((cap, b), jnp.int32)
+    hi2 = jnp.full((cap, b), ne3, jnp.int32)
+    for _ in range(max(1, ne3.bit_length())):
+        mid = (lo2 + hi2) >> 1
+        idxf = (w * ne3 + jnp.minimum(mid, ne3 - 1)) * b + lane_iota
+        cmid = jnp.take(vflat, idxf)
+        go_right = cmid <= e
+        lo2 = jnp.where(go_right, mid + 1, lo2)
+        hi2 = jnp.where(go_right, hi2, mid)
+    r = jnp.minimum(lo2, ne3 - 1)
+
+    src = (w * ne3 + r) * b + lane_iota
+    out = jnp.take(entries.reshape(-1), src)
+    valid_g = g < totals[None, :]
+    return jnp.where(valid_g, out, 0).astype(jnp.uint16), totals
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def compact_entries_sparse_u8(entries, counts, cap: int):
+    """compact_entries_sparse + uint8 repack (op << 6 | count), valid when
+    tb_limit <= 63 — see engine_xla.compact_entries_u8."""
+    out16, totals = compact_entries_sparse(entries, counts, cap)
+    ops = (out16 >> ENTRY_OP_SHIFT).astype(jnp.uint8)
+    cnts = (out16 & ENTRY_CNT_MASK).astype(jnp.uint8)
+    return ((ops << 6) | cnts).astype(jnp.uint8), totals

@@ -69,8 +69,14 @@ def test_pallas_engine_matches_xla_engine_raw():
     np.testing.assert_array_equal(np.asarray(rp.counts)[:mw],
                                   np.asarray(rx.counts))
     assert int(np.asarray(rp.counts)[mw:].sum()) == 0
-    np.testing.assert_array_equal(np.asarray(rp.entries)[:mw],
-                                  np.asarray(rx.entries))
+    # entry layouts differ (pallas: sparse maximal-run rows; xla: dense
+    # slots) — compare the per-pair run lists after device compaction,
+    # which also pins compact_entries_sparse against the dense compactor
+    cap = int(np.asarray(rx.counts).sum(axis=0).max()) + 2
+    cp, tp = engine_pallas.compact_entries_sparse(rp.entries, rp.counts, cap)
+    cx, tx = engine_xla.compact_entries(rx.entries, rx.counts, cap)
+    np.testing.assert_array_equal(np.asarray(tp), np.asarray(tx))
+    np.testing.assert_array_equal(np.asarray(cp), np.asarray(cx))
 
 
 def test_pallas_api_matches_oracle():
