@@ -74,6 +74,7 @@ DEFAULT_KW = 8  # windows fused per kernel invocation
 # Values: "pm2" (pattern unpack+bitmask build), "fill2" (DP fill),
 # "tb2" (traceback). Never set in production paths.
 _ABLATE = os.environ.get("SCROOGE_ABLATE", "")
+_SK_OVERRIDE = int(os.environ.get("SCROOGE_SK", "0"))
 
 
 def slab_chars(cfg: AlignConfig, kw: int) -> int:
@@ -126,6 +127,8 @@ def choose_kernel_shape(cfg: AlignConfig, S: int,
     scratch) still run on the Pallas engine. Returns (0, 0) if nothing fits.
     """
     candidates = [min(32, S), min(16, S), min(8, S)]
+    if _SK_OVERRIDE:  # measurement-only tile override (see _ABLATE)
+        candidates = [min(_SK_OVERRIDE, S)]
     for sk in dict.fromkeys(candidates):
         if sk <= 0 or S % sk:
             continue
@@ -680,8 +683,9 @@ def _align_scan(cfg: AlignConfig, sk: int, kw: int, max_windows: int,
                 ) -> BatchResult:
     """Slab scan over the batch: ceil(max_windows/kw) kernel invocations.
 
-    gather_text_words(ref_idx (S,128) int32) -> ((B, NWD) uint32 words,
-    (B,) int32 bit offsets) for the text slab of each lane.
+    gather_text_words(ref_idx (S,128) int32) -> ((NWD, B) uint32 words,
+    (B,) int32 bit offsets) for the text slab of each lane (word-major so
+    kernel blocks need no transpose).
     pwords_all: (B, Pw) uint32 pack_2bit words of the patterns.
     """
     B = pwords_all.shape[0]
@@ -698,7 +702,7 @@ def _align_scan(cfg: AlignConfig, sk: int, kw: int, max_windows: int,
 
     Pw = pwords_all.shape[1]
     pwflat = pwords_all.reshape(B * Pw)
-    prow = (jnp.arange(B, dtype=jnp.int32) * Pw).reshape(B, 1)
+    prow = (jnp.arange(B, dtype=jnp.int32) * Pw)[None, :]
     nwd_iota = jnp.arange(NWD, dtype=jnp.int32)
 
     carry0 = (
@@ -724,16 +728,16 @@ def _align_scan(cfg: AlignConfig, sk: int, kw: int, max_windows: int,
         step, carry, ents, cnts = st
         ref_idx, read_idx, ed, done, failed = carry
 
-        twords, toff = gather_text_words(ref_idx)  # (B, NWD), (B,)
+        twords, toff = gather_text_words(ref_idx)  # (NWD, B), (B,)
         rb = read_idx.reshape(B)
         pw0 = rb >> 4
-        pidx = prow + jnp.minimum(pw0.reshape(B, 1) + nwd_iota[None, :],
+        pidx = prow + jnp.minimum(pw0[None, :] + nwd_iota[:, None],
                                   Pw - 1)
-        pwords = jnp.take(pwflat, pidx)  # (B, NWD) uint32
+        pwords = jnp.take(pwflat, pidx)  # (NWD, B) uint32
         poff = ((rb & 15) * 2).astype(jnp.int32)
 
-        twords_t = twords.reshape(S, LANE, NWD).transpose(2, 0, 1)
-        pwords_t = pwords.reshape(S, LANE, NWD).transpose(2, 0, 1)
+        twords_t = twords.reshape(NWD, S, LANE)
+        pwords_t = pwords.reshape(NWD, S, LANE)
 
         (ref_idx, read_idx, ed, done, failed, entries_i, nfl
          ) = slab_step_kernel(
@@ -775,14 +779,14 @@ def align_batch(cfg: AlignConfig, max_windows: int, sk: int, kw: int,
     B, Tw = text_words.shape
     NWD = slab_words(cfg, kw)
     twflat = text_words.reshape(B * Tw)
-    trow = (jnp.arange(B, dtype=jnp.int32) * Tw).reshape(B, 1)
+    trow = (jnp.arange(B, dtype=jnp.int32) * Tw)[None, :]
     nwd_iota = jnp.arange(NWD, dtype=jnp.int32)
 
     def gather_text_words(ref_idx):
         rb = ref_idx.reshape(B)
         w0 = rb >> 4
-        idx = trow + jnp.minimum(w0.reshape(B, 1) + nwd_iota[None, :], Tw - 1)
-        words = jnp.take(twflat, idx)
+        idx = trow + jnp.minimum(w0[None, :] + nwd_iota[:, None], Tw - 1)
+        words = jnp.take(twflat, idx)  # (NWD, B)
         return words, ((rb & 15) * 2).astype(jnp.int32)
 
     return _align_scan(cfg, sk, kw, max_windows, gather_text_words,
@@ -807,8 +811,8 @@ def align_batch_mapped(cfg: AlignConfig, max_windows: int, sk: int, kw: int,
     def gather_text_words(ref_idx):
         gchar = starts_u.reshape(B) + ref_idx.reshape(B).astype(jnp.uint32)
         w0 = (gchar >> 4).astype(jnp.int32)  # word index fits int32 (<2^28)
-        idx = jnp.minimum(w0.reshape(B, 1) + nwd_iota[None, :], Gw - 1)
-        words = jnp.take(genome_words, idx)
+        idx = jnp.minimum(w0[None, :] + nwd_iota[:, None], Gw - 1)
+        words = jnp.take(genome_words, idx)  # (NWD, B)
         toff = ((gchar & 15) * 2).astype(jnp.int32)
         return words, toff
 
@@ -847,6 +851,7 @@ def compact_entries_sparse(entries, counts, cap: int):
     cum = jnp.cumsum(counts, axis=0)  # inclusive, (MAXW, B)
     totals = cum[-1]
     g = jnp.arange(cap, dtype=jnp.int32)[:, None]  # (cap, 1)
+    lane_iota = jnp.arange(b, dtype=jnp.int32)[None, :]
     lo = jnp.zeros((cap, b), jnp.int32)
     hi = jnp.full((cap, b), maxw, jnp.int32)
     for _ in range(max(1, maxw.bit_length())):
@@ -860,8 +865,6 @@ def compact_entries_sparse(entries, counts, cap: int):
                      jnp.take_along_axis(cum, jnp.maximum(w - 1, 0), axis=0),
                      0)
     e = g - prev  # 0-based run index within window w
-
-    lane_iota = jnp.arange(b, dtype=jnp.int32)[None, :]
     vflat = vcum.reshape(-1)
     lo2 = jnp.zeros((cap, b), jnp.int32)
     hi2 = jnp.full((cap, b), ne3, jnp.int32)
