@@ -75,6 +75,7 @@ DEFAULT_KW = 8  # windows fused per kernel invocation
 # "tb2" (traceback). Never set in production paths.
 _ABLATE = os.environ.get("SCROOGE_ABLATE", "")
 _SK_OVERRIDE = int(os.environ.get("SCROOGE_SK", "0"))
+_KW_OVERRIDE = int(os.environ.get("SCROOGE_KW", "0"))
 
 
 def slab_chars(cfg: AlignConfig, kw: int) -> int:
@@ -86,6 +87,23 @@ def slab_chars(cfg: AlignConfig, kw: int) -> int:
 def slab_words(cfg: AlignConfig, kw: int) -> int:
     """uint32 words covering a slab at an arbitrary 2-bit start offset."""
     return -(-slab_chars(cfg, kw) // CHARS_PER_WORD) + 1
+
+
+# Extra slab words shipped per lane beyond the slab span: lanes drift
+# apart slowly (per-window text/pattern advance varies by a few chars),
+# so each slab is fetched as ONE contiguous dynamic_slice at the active
+# lanes' minimum word base and per-lane word offsets up to this margin
+# resolve in-kernel. A lane drifting past the margin is failed to the
+# exact retry path (compound drift over a read is tens of chars; the
+# margin is 128). This removes all per-slab gathers, which measured
+# ~40% of kernel-path runtime.
+SLAB_MARGIN_WORDS = 8
+
+
+def slab_io_words(cfg: AlignConfig, kw: int) -> int:
+    """Words shipped to the kernel per lane per slab (span + drift
+    margin)."""
+    return slab_words(cfg, kw) + SLAB_MARGIN_WORDS
 
 
 def tb_rows(cfg: AlignConfig) -> int:
@@ -103,10 +121,10 @@ def kernel_vmem_bytes(cfg: AlignConfig, sk: int, kw: int = DEFAULT_KW) -> int:
     r = (cfg.tb_cap + 2) * cfg.columns * cfg.num_tb_words * lane_b
     ff = (cfg.W + 1) * cfg.num_words * lane_b
     pmi = cfg.W * cfg.num_words * lane_b
-    upat = cfg.W * lane_b
+    upat = (cfg.W if cfg.W % 16 else 1) * lane_b
     pmc = 4 * cfg.num_words * lane_b
     ent = (kw + 1) * tb_rows(cfg) * lane_b
-    io = 2 * slab_words(cfg, kw) * lane_b + 16 * lane_b
+    io = 2 * slab_io_words(cfg, kw) * lane_b + 16 * lane_b
     return r + ff + pmi + upat + pmc + ent + 2 * io
 
 
@@ -129,10 +147,13 @@ def choose_kernel_shape(cfg: AlignConfig, S: int,
     candidates = [min(32, S), min(16, S), min(8, S)]
     if _SK_OVERRIDE:  # measurement-only tile override (see _ABLATE)
         candidates = [min(_SK_OVERRIDE, S)]
+    kws = (DEFAULT_KW, 4, 2, 1)
+    if _KW_OVERRIDE:
+        kws = (_KW_OVERRIDE,)
     for sk in dict.fromkeys(candidates):
         if sk <= 0 or S % sk:
             continue
-        for kw in (DEFAULT_KW, 4, 2, 1):
+        for kw in kws:
             if kernel_vmem_bytes(cfg, sk, kw) <= budget_bytes:
                 return sk, kw
     return 0, 0
@@ -206,6 +227,75 @@ def _ones_shifted_u32(shift, W, nw):
     return out
 
 
+def _mw_shr_u32(words, s):
+    """Right-shift a little-endian uint32 word list by per-lane amount
+    s (clamped to [0, 32*len-1]): result bit t = source bit t+s."""
+    nwm = len(words)
+    si = jnp.clip(s, 0, 32 * nwm - 1)
+    q = si >> 5
+    r = (si & 31).astype(jnp.uint32)
+    r_inv = (jnp.uint32(32) - r) & jnp.uint32(31)
+    out = []
+    for w in range(nwm):
+        acc = jnp.zeros_like(words[0])
+        for qq in range(nwm - w):
+            lo = words[w + qq] >> r
+            if w + qq + 1 < nwm:
+                hi = jnp.where(r == 0, jnp.uint32(0),
+                               words[w + qq + 1] << r_inv)
+                lo = lo | hi
+            acc = jnp.where(q == qq, lo, acc)
+        out.append(acc)
+    return out
+
+
+def _mw_onehot_u32(t, nwm, shape):
+    """Word list with bit t set (none when t outside [0, 32*nwm))."""
+    out = []
+    for w in range(nwm):
+        tw = t - 32 * w
+        ok = (tw >= 0) & (tw < 32)
+        sh = jnp.clip(tw, 0, 31).astype(jnp.uint32)
+        out.append(jnp.where(ok, jnp.uint32(1) << sh, jnp.uint32(0)))
+    return out
+
+
+def _mw_below_u32(t, nwm):
+    """Word list with bits [0, max(t, 0)) set, saturating."""
+    out = []
+    for w in range(nwm):
+        k = jnp.clip(t - 32 * w, 0, 32)
+        sh = jnp.clip(k, 0, 31).astype(jnp.uint32)
+        part = (jnp.uint32(1) << sh) - jnp.uint32(1)
+        out.append(jnp.where(k >= 32, jnp.uint32(0xFFFFFFFF), part))
+    return out
+
+
+def _mw_ctz_u32(words):
+    """Index of the lowest set bit (int32), 32*len when all zero."""
+    nwm = len(words)
+    res = jnp.full(words[0].shape, 32 * nwm, jnp.int32)
+    for w in reversed(range(nwm)):
+        x = words[w]
+        lsb = x & (jnp.uint32(0) - x)
+        t = (31 - lax.clz(lsb).astype(jnp.int32)) + 32 * w
+        res = jnp.where(x != 0, t, res)
+    return res
+
+
+def _mw_bit_u32(words, t):
+    """Bit t of the word list as a bool (t clamped into range)."""
+    nwm = len(words)
+    tc = jnp.clip(t, 0, 32 * nwm - 1)
+    sh = (tc & 31).astype(jnp.uint32)
+    acc = jnp.zeros_like(words[0])
+    for w in range(nwm):
+        acc = acc | jnp.where((tc >> 5) == w,
+                              (words[w] >> sh) & jnp.uint32(1),
+                              jnp.uint32(0))
+    return acc != 0
+
+
 def _unpack_char(words, bit, nwd):
     """Extract the 2-bit code at per-lane bit offset `bit` from the per-lane
     word list `words` (each (sk,128) uint32). bit in [0, 32*nwd)."""
@@ -233,7 +323,8 @@ def _multi_window_kernel(cfg: AlignConfig, kw: int,
     NW, FTW = cfg.num_words, cfg.first_tb_word
     NWH = cfg.num_tb_words
     COLS, TB = cfg.columns, cfg.tb_limit
-    NWD = slab_words(cfg, kw)
+    NWC = -(-COLS // 32)  # words of the per-lane traceback offset masks
+    NWD = slab_io_words(cfg, kw)
     NE3 = tb_rows(cfg)
     sk = tlen_ref.shape[0]
     lane = (sk, LANE)
@@ -241,10 +332,24 @@ def _multi_window_kernel(cfg: AlignConfig, kw: int,
 
     tlen = tlen_ref[...]
     plen = plen_ref[...]
-    twords = [twords_ref[wdi] for wdi in range(NWD)]
-    pwords = [pwords_ref[wdi] for wdi in range(NWD)]
-    toff0 = toff_ref[...]
-    poff0 = poff_ref[...]
+    # Normalize each lane's slab once: shift out the drift-margin word
+    # offset (one M+1-way select per kept word), so every later per-char
+    # unpack chains over the slab span only, not span+margin.
+    NWDC = NWD - SLAB_MARGIN_WORDS
+
+    def _normalize(words_ref, off_raw):
+        raw = [words_ref[wdi] for wdi in range(NWD)]
+        woff = off_raw >> 5
+        out = []
+        for k in range(NWDC):
+            word = raw[k]
+            for mm in range(1, SLAB_MARGIN_WORDS + 1):
+                word = jnp.where(woff == mm, raw[k + mm], word)
+            out.append(word)
+        return out, off_raw & 31
+
+    twords, toff0 = _normalize(twords_ref, toff_ref[...])
+    pwords, poff0 = _normalize(pwords_ref, poff_ref[...])
 
     ref_idx = ref_in[...]
     read_idx = read_in[...]
@@ -268,27 +373,75 @@ def _multi_window_kernel(cfg: AlignConfig, kw: int,
         poff = poff0 + 2 * (read_idx - read0)
 
         def build_pm():
-            # ---- unpack the pattern window from the slab into upat ----
-            for j in range(W):
-                upat_ref[j] = _unpack_char(pwords, poff + 2 * j, NWD)
-
             # ---- pattern bitmasks (genasm_cpu.cpp:178-198, MSB-aligned):
-            # global bit gb holds pattern position j = W-1-gb, valid iff
-            # gb >= s ----
+            # global bit gb holds pattern position j = W-1-gb; bits below
+            # s are zeroed by the lane_ones mask ----
             pmc = [[None] * NW for _ in range(4)]
-            for c in range(4):
-                for w in range(NW):
-                    acc = jnp.zeros(lane, jnp.uint32)
-                    bits_here = min(32, W - 32 * w)
-                    for b in range(bits_here):
-                        gb = 32 * w + b
-                        pos = upat_ref[W - 1 - gb]
-                        match = (pos == c) & (gb >= s)
-                        acc = acc | (match.astype(jnp.uint32) << b)
-                    pmc[c][w] = (~acc) & lane_ones[w]
+            if W % 16 == 0:
+                # Grouped build from the packed slab: each slab word holds
+                # 16 chars, so char==c is one XOR + OR-collapse per word;
+                # the 16 match bits are compacted (log-step pair packing)
+                # and bit-reversed into the MSB-aligned mask position.
+                # ~4x fewer ops and far less unrolled code than per-bit
+                # accumulation (Mosaic compile time scales with unrolled
+                # op count).
+                sh = poff.astype(jnp.uint32) & jnp.uint32(31)
+                ish = (jnp.uint32(32) - sh) & jnp.uint32(31)
+                wbase = poff >> 5
+                accs = [[jnp.zeros(lane, jnp.uint32) for _ in range(NW)]
+                        for _ in range(4)]
+                for g in range(W // 16):
+                    # packed chars 16g..16g+15 of the window, at per-lane
+                    # word offset wbase and bit phase sh within the slab
+                    w0 = pwords[g]
+                    w1 = pwords[g + 1]
+                    for wb in range(1, NWDC):
+                        if g + wb + 1 < NWDC:
+                            w0 = jnp.where(wbase == wb, pwords[g + wb], w0)
+                            w1 = jnp.where(wbase == wb,
+                                           pwords[g + wb + 1], w1)
+                    val = (w0 >> sh) | jnp.where(sh == 0, jnp.uint32(0),
+                                                 w1 << ish)
+                    for c in range(4):
+                        x = val ^ jnp.uint32(c * 0x55555555)
+                        z = x | (x >> 1)
+                        y = (~z) & jnp.uint32(0x55555555)
+                        y = (y | (y >> 1)) & jnp.uint32(0x33333333)
+                        y = (y | (y >> 2)) & jnp.uint32(0x0F0F0F0F)
+                        y = (y | (y >> 4)) & jnp.uint32(0x00FF00FF)
+                        y = (y | (y >> 8)) & jnp.uint32(0x0000FFFF)
+                        # reverse the 16 match bits (mask is MSB-aligned)
+                        y = ((y & jnp.uint32(0x5555)) << 1) \
+                            | ((y >> 1) & jnp.uint32(0x5555))
+                        y = ((y & jnp.uint32(0x3333)) << 2) \
+                            | ((y >> 2) & jnp.uint32(0x3333))
+                        y = ((y & jnp.uint32(0x0F0F)) << 4) \
+                            | ((y >> 4) & jnp.uint32(0x0F0F))
+                        y = ((y & jnp.uint32(0x00FF)) << 8) \
+                            | ((y >> 8) & jnp.uint32(0x00FF))
+                        gb0 = W - 16 * (g + 1)
+                        accs[c][gb0 >> 5] = (accs[c][gb0 >> 5]
+                                             | (y << (gb0 & 31)))
+                for c in range(4):
+                    for w in range(NW):
+                        pmc[c][w] = (~accs[c][w]) & lane_ones[w]
+            else:
+                # odd widths: per-char accumulation via unpacked chars
+                for j in range(W):
+                    upat_ref[j] = _unpack_char(pwords, poff + 2 * j, NWDC)
+                for c in range(4):
+                    for w in range(NW):
+                        acc = jnp.zeros(lane, jnp.uint32)
+                        bits_here = min(32, W - 32 * w)
+                        for b in range(bits_here):
+                            gb = 32 * w + b
+                            pos = upat_ref[W - 1 - gb]
+                            match = (pos == c)
+                            acc = acc | (match.astype(jnp.uint32) << b)
+                        pmc[c][w] = (~acc) & lane_ones[w]
 
             def pm_body(i, _):
-                t = _unpack_char(twords, toff + 2 * i, NWD)
+                t = _unpack_char(twords, toff + 2 * i, NWDC)
                 for w in range(NW):
                     word = pmc[0][w]
                     for c in range(1, 4):
@@ -451,79 +604,78 @@ def _multi_window_kernel(cfg: AlignConfig, kw: int,
         # tile, some lane flushes at essentially every step).
         def level_body(st):
             lvl, i, j, dd, fin, pend_op, pend_cnt, nfl = st
+            L = lvl - 1
+            active = (fin == 0) & (dd == lvl)
 
-            def sub_cond(sst):
-                _, _, dd_, fin_, _, _, safety = sst
-                active = (fin_ == 0) & (dd_ == lvl)
-                return jnp.any(active) & (safety < TB + 2)
+            # Closed-form level step (no per-step inner loop): within one
+            # d-level a lane runs '='s along the DIAGONAL (i+t, j+t) until
+            # the first offset t where an edit becomes legal (priority
+            # I>D>X, genasm_cpu.cpp:346-370) or a TB_LIMIT/window bound
+            # terminates it. One pass over the stored columns extracts the
+            # three decision bits for ALL offsets into packed per-lane
+            # masks; the run length is then a count-trailing-zeros. At
+            # offset t the sequential tracer inspects
+            #   zA(t):  bit (W-2-j-t) of R[L, i+t]    (insertion)
+            #   zB0(t): bit (W-1-j-t) of R[L, i+t+1]  (deletion)
+            #   zB1(t): bit (W-2-j-t) of R[L, i+t+1]  (substitution)
+            # i.e. for column c the bit positions are (bA - c), (bB - c),
+            # (bB - 1 - c) with bA = W-2-j+i, bB = W-1-j+i+1 ... built
+            # column-indexed (bit c, scalar shifts), then one per-lane
+            # funnel shift by i (A) / i+1 (B) re-indexes them by t.
+            bA = (W - 2) - j + i
+            bB = (W - 1) - j + (i + 1)
+            zero = jnp.zeros(lane, jnp.uint32)
+            McA = [zero] * NWC
+            McB0 = [zero] * NWC
+            McB1 = [zero] * NWC
+            for c in range(COLS):
+                words = [R_ref[L, c, w] for w in range(NWH)]
+                # bit positions clamped for shift safety; out-of-range
+                # extractions are garbage only at offsets t that
+                # min(t_stop, t_term) already excludes (the DENT store
+                # covers every traceback-reachable bit)
+                pA = jnp.clip(bA - c, 0, W - 1)
+                pB0 = jnp.clip(bB - c, 0, W - 1)
+                pB1 = jnp.clip(bB - 1 - c, 0, W - 1)
+                bits = []
+                for p in (pA, pB0, pB1):
+                    wsel = words[0]
+                    for wd in range(1, NWH):
+                        wsel = jnp.where((p >> 5) == (FTW + wd),
+                                         words[wd], wsel)
+                    bits.append(
+                        ((wsel >> (p & 31).astype(jnp.uint32)) & 1) ^ 1)
+                cw, cb = c >> 5, c & 31
+                McA[cw] = McA[cw] | (bits[0] << cb)
+                McB0[cw] = McB0[cw] | (bits[1] << cb)
+                McB1[cw] = McB1[cw] | (bits[2] << cb)
 
-            def sub_body(sst):
-                i_, j_, dd_, fin_, eq_, ed_, safety = sst
-                active = (fin_ == 0) & (dd_ == lvl)
-                term = active & ((j_ >= m) | (i_ >= TB) | (j_ >= TB))
-                fin_ = jnp.where(term, 1, fin_)
-                act = active & ~term
+            MA = _mw_shr_u32(McA, i)
+            MB0 = _mw_shr_u32(McB0, i + 1)
+            MB1 = _mw_shr_u32(McB1, i + 1)
+            tj = (m - 1) - j  # the single offset where j+t == m-1
+            tn = n - i        # offsets t >= tn have i+t >= n (i_limit)
+            jbit = _mw_onehot_u32(tj, NWC, lane)
+            below = _mw_below_u32(tn, NWC)
+            m_ins = [MA[w] | jbit[w] for w in range(NWC)]
+            m_del = [MB0[w] & ~jbit[w] & below[w] for w in range(NWC)]
+            m_sub = [(MB1[w] | jbit[w]) & below[w] for w in range(NWC)]
+            stop = [m_ins[w] | m_del[w] | m_sub[w] for w in range(NWC)]
+            t_stop = _mw_ctz_u32(stop)
+            t_term = jnp.maximum(
+                jnp.minimum(jnp.minimum(m - j, TB - i), TB - j), 0)
+            run = jnp.minimum(t_stop, t_term)
+            does_edit = active & (t_stop < t_term)
+            op = jnp.where(
+                _mw_bit_u32(m_ins, t_stop), OP_I,
+                jnp.where(_mw_bit_u32(m_del, t_stop), OP_D, OP_X))
 
-                # one sweep over the columns selects the row-(lvl-1)
-                # entry words at per-lane columns i (A) and i+1 (B).
-                # (A dynamic-bounded [min_i, max_i+2) sweep measured 14%
-                # SLOWER end-to-end: the while-lowered loop + two cross-
-                # lane reductions beat the static sweep's savings.)
-                selA = [jnp.zeros(lane, jnp.uint32) for _ in range(NWH)]
-                selB = [jnp.zeros(lane, jnp.uint32) for _ in range(NWH)]
-                ip1 = i_ + 1
-                for c in range(COLS):
-                    eqA = i_ == c
-                    eqB = ip1 == c
-                    for w in range(NWH):
-                        word = R_ref[lvl - 1, c, w]
-                        selA[w] = jnp.where(eqA, word, selA[w])
-                        selB[w] = jnp.where(eqB, word, selB[w])
-
-                def bit_zero(sel, gbit):
-                    word_idx = gbit >> 5
-                    off = gbit & 31
-                    acc = jnp.zeros(lane, jnp.uint32)
-                    for w in range(NWH):
-                        v = (sel[w].astype(jnp.int32) >> off
-                             ).astype(jnp.uint32)
-                        acc = acc | jnp.where(word_idx == (w + FTW),
-                                              v & jnp.uint32(1),
-                                              jnp.uint32(0))
-                    return acc == 0
-
-                jlast = j_ == (m - 1)
-                i_limit = i_ >= n
-                bj1 = W - 1 - (j_ + 1)
-                zA_j1 = bit_zero(selA, bj1)
-                zB_j = bit_zero(selB, W - 1 - j_)
-                zB_j1 = bit_zero(selB, bj1)
-                # boolean algebra instead of where(mask, literal, arr):
-                # Mosaic cannot lower the i8->i1 truncation that produces
-                can_ins = jlast | zA_j1
-                can_del = ~jlast & ~i_limit & zB_j
-                can_sub = ~i_limit & (jlast | zB_j1)
-
-                op = jnp.where(
-                    can_ins, OP_I,
-                    jnp.where(can_del, OP_D,
-                              jnp.where(can_sub, OP_X, OP_EQ)))
-                is_eq = op == OP_EQ
-                takes_i = op != OP_I
-                takes_j = op != OP_D
-
-                eq_ = eq_ + jnp.where(act & is_eq, 1, 0)
-                ed_ = jnp.where(act & ~is_eq, op, ed_)
-                i_ = i_ + jnp.where(act & takes_i, 1, 0)
-                j_ = j_ + jnp.where(act & takes_j, 1, 0)
-                dd_ = dd_ - jnp.where(act & ~is_eq, 1, 0)
-                return i_, j_, dd_, fin_, eq_, ed_, safety + 1
-
-            eq0 = jnp.zeros(lane, jnp.int32)
-            edn0 = jnp.full(lane, OP_NONE, jnp.int32)
-            i, j, dd, fin, eq, ed, _ = lax.while_loop(
-                sub_cond, sub_body,
-                (i, j, dd, fin, eq0, edn0, jnp.int32(0)))
+            eq = jnp.where(active, run, 0)
+            ed = jnp.where(does_edit, op, OP_NONE)
+            i = i + eq + jnp.where(does_edit & (op != OP_I), 1, 0)
+            j = j + eq + jnp.where(does_edit & (op != OP_D), 1, 0)
+            dd = dd - does_edit.astype(jnp.int32)
+            fin = jnp.where(active & ~does_edit, 1, fin)
 
             # Emission with a pending-edit-run carry: consecutive same-op
             # edits across levels (e.g. "III") accumulate in registers and
@@ -614,7 +766,7 @@ def slab_step_kernel(cfg: AlignConfig, kw: int, sk: int,
     entries (KW*NE, S, 128) int32 and per-window run counts (KW, S, 128).
     """
     W = cfg.W
-    NWD = slab_words(cfg, kw)
+    NWD = slab_io_words(cfg, kw)
     NE3 = tb_rows(cfg)
     S = tlen.shape[0]
     assert S % sk == 0, (S, sk)
@@ -657,7 +809,8 @@ def slab_step_kernel(cfg: AlignConfig, kw: int, sk: int,
         # W+2: slot W+1 is the wavefront's dummy sink (and the carry init)
         pltpu.VMEM((W + 2, cfg.num_words, sk, LANE), jnp.uint32),  # forefront
         pltpu.VMEM((W, cfg.num_words, sk, LANE), jnp.uint32),  # pmi
-        pltpu.VMEM((W, sk, LANE), jnp.int32),  # unpacked pattern chars
+        # unpacked pattern chars (odd-W pm path only)
+        pltpu.VMEM((W if W % 16 else 1, sk, LANE), jnp.int32),
         pltpu.VMEM((NE3, sk, LANE), jnp.int32),  # per-window level-run rows
     ]
     # off-TPU (tests, virtual CPU meshes) the kernel runs in interpreter
@@ -679,31 +832,43 @@ def slab_step_kernel(cfg: AlignConfig, kw: int, sk: int,
 
 
 def _align_scan(cfg: AlignConfig, sk: int, kw: int, max_windows: int,
-                gather_text_words, pwords_all, text_len, pattern_len
+                text_t, tphase, text_len, pattern_t, pattern_len
                 ) -> BatchResult:
     """Slab scan over the batch: ceil(max_windows/kw) kernel invocations.
 
-    gather_text_words(ref_idx (S,128) int32) -> ((NWD, B) uint32 words,
-    (B,) int32 bit offsets) for the text slab of each lane (word-major so
-    kernel blocks need no transpose).
-    pwords_all: (B, Pw) uint32 pack_2bit words of the patterns.
+    text_t / pattern_t: word-major (Wd, B) uint32 pack_2bit buffers,
+    padded to at least slab_io_words rows. tphase: (B,) int32 char phase
+    of each lane's word-0 (0 for row-local buffers; starts & 15 for the
+    shared-genome segment buffer). Each slab is ONE contiguous
+    dynamic_slice at the active lanes' minimum word base; per-lane word
+    offsets up to SLAB_MARGIN_WORDS resolve in-kernel via the slab bit
+    offset, and lanes beyond the margin fail to the exact retry path.
     """
-    B = pwords_all.shape[0]
+    B = pattern_t.shape[1]
     if B % LANE != 0:
         raise ValueError("batch must be a multiple of 128 lanes")
     S = B // LANE
     lane = (S, LANE)
     tlen = text_len.astype(jnp.int32).reshape(lane)
     plen = pattern_len.astype(jnp.int32).reshape(lane)
-    NWD = slab_words(cfg, kw)
-    NE = 2 * max(cfg.tb_limit, 1) + 2
+    NWD2 = slab_io_words(cfg, kw)
+    M = SLAB_MARGIN_WORDS
     NE3 = tb_rows(cfg)
     n_steps = -(-max_windows // kw)
+    tphase = tphase.astype(jnp.int32).reshape(B)
 
-    Pw = pwords_all.shape[1]
-    pwflat = pwords_all.reshape(B * Pw)
-    prow = (jnp.arange(B, dtype=jnp.int32) * Pw)[None, :]
-    nwd_iota = jnp.arange(NWD, dtype=jnp.int32)
+    def slab_slice(buf_t, cpos, act):
+        """One contiguous slab for the whole batch: words (NWD2, B),
+        per-lane in-slab bit offsets, and the beyond-margin mask."""
+        wd = buf_t.shape[0]
+        w0 = cpos >> 4
+        base = jnp.min(jnp.where(act, w0, jnp.int32(1 << 30)))
+        base = jnp.clip(base, 0, max(wd - NWD2, 0))
+        words = lax.dynamic_slice(buf_t, (base, jnp.int32(0)), (NWD2, B))
+        woff = w0 - base
+        bad = act & ((woff < 0) | (woff > M))
+        off = ((cpos & 15) * 2 + jnp.clip(woff, 0, M) * 32)
+        return words, off.astype(jnp.int32), bad
 
     carry0 = (
         jnp.zeros(lane, jnp.int32),  # ref_idx
@@ -728,20 +893,19 @@ def _align_scan(cfg: AlignConfig, sk: int, kw: int, max_windows: int,
         step, carry, ents, cnts = st
         ref_idx, read_idx, ed, done, failed = carry
 
-        twords, toff = gather_text_words(ref_idx)  # (NWD, B), (B,)
-        rb = read_idx.reshape(B)
-        pw0 = rb >> 4
-        pidx = prow + jnp.minimum(pw0[None, :] + nwd_iota[:, None],
-                                  Pw - 1)
-        pwords = jnp.take(pwflat, pidx)  # (NWD, B) uint32
-        poff = ((rb & 15) * 2).astype(jnp.int32)
-
-        twords_t = twords.reshape(NWD, S, LANE)
-        pwords_t = pwords.reshape(NWD, S, LANE)
+        act = (done == 0).reshape(B)
+        twords, toff, bad_t = slab_slice(text_t,
+                                         tphase + ref_idx.reshape(B), act)
+        pwords, poff, bad_p = slab_slice(pattern_t, read_idx.reshape(B),
+                                         act)
+        bad = (bad_t | bad_p).reshape(lane)
+        done = jnp.where(bad, 1, done)
+        failed = jnp.where(bad, 1, failed)
 
         (ref_idx, read_idx, ed, done, failed, entries_i, nfl
          ) = slab_step_kernel(
-            cfg, kw, sk, twords_t, toff.reshape(lane), pwords_t,
+            cfg, kw, sk, twords.reshape(NWD2, S, LANE),
+            toff.reshape(lane), pwords.reshape(NWD2, S, LANE),
             poff.reshape(lane), tlen, plen,
             ref_idx, read_idx, ed, done, failed)
 
@@ -775,22 +939,21 @@ def align_batch(cfg: AlignConfig, max_windows: int, sk: int, kw: int,
                 pattern_len) -> BatchResult:
     """Pallas-engine unstructured batch alignment. text_words /
     pattern_words: (B, ceil(T/16)) / (B, ceil(P/16)) uint32 pack_2bit
-    words (pack on host with pack_2bit_host)."""
-    B, Tw = text_words.shape
-    NWD = slab_words(cfg, kw)
-    twflat = text_words.reshape(B * Tw)
-    trow = (jnp.arange(B, dtype=jnp.int32) * Tw)[None, :]
-    nwd_iota = jnp.arange(NWD, dtype=jnp.int32)
+    words (pack on host with pack_2bit_host). Buffers are transposed to
+    word-major once here; slabs are then contiguous slices (no gathers)."""
+    B = text_words.shape[0]
+    NWD2 = slab_io_words(cfg, kw)
 
-    def gather_text_words(ref_idx):
-        rb = ref_idx.reshape(B)
-        w0 = rb >> 4
-        idx = trow + jnp.minimum(w0[None, :] + nwd_iota[:, None], Tw - 1)
-        words = jnp.take(twflat, idx)  # (NWD, B)
-        return words, ((rb & 15) * 2).astype(jnp.int32)
+    def prep(words):
+        # always pad a full slice width: the slab slice must be able to
+        # START at the last real word without the in-bounds clamp pulling
+        # the base back (which would blow per-lane offsets past the
+        # margin and spuriously fail every lane near its sequence end)
+        return jnp.pad(words, ((0, 0), (0, NWD2))).T
 
-    return _align_scan(cfg, sk, kw, max_windows, gather_text_words,
-                       pattern_words, text_len, pattern_len)
+    tphase = jnp.zeros((B,), jnp.int32)
+    return _align_scan(cfg, sk, kw, max_windows, prep(text_words), tphase,
+                       text_len, prep(pattern_words), pattern_len)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
@@ -801,23 +964,31 @@ def align_batch_mapped(cfg: AlignConfig, max_windows: int, sk: int, kw: int,
     in HBM (uint32 words, pack_2bit layout), per-lane global char offsets —
     the reference's shared-reference views (genasm_gpu.cu:692-743) without
     per-pair copies. starts: (B,) uint32 global char offsets;
-    pattern_words: (B, ceil(P/16)) uint32 pack_2bit words."""
+    pattern_words: (B, ceil(P/16)) uint32 pack_2bit words.
+
+    The per-pair genome segments are extracted word-major ONCE (the only
+    gather on this path); every slab is then a contiguous slice of the
+    segment buffer, exactly as in the unstructured path."""
     B = pattern_words.shape[0]
     Gw = genome_words.shape[0]
-    NWD = slab_words(cfg, kw)
+    NWD2 = slab_io_words(cfg, kw)
+    # maximum text chars a pair can touch: every window advances at most
+    # tb_limit and reads W beyond its start, plus the word phase
+    maxchars = max_windows * cfg.tb_limit + cfg.W + 15
+    # + NWD2: slices near the segment end must not hit the in-bounds clamp
+    seg_w = -(-maxchars // CHARS_PER_WORD) + 1 + NWD2
     starts_u = starts.astype(jnp.uint32)
-    nwd_iota = jnp.arange(NWD, dtype=jnp.int32)
+    sw = (starts_u >> 4).astype(jnp.int32)
+    idx = jnp.minimum(sw[None, :]
+                      + jnp.arange(seg_w, dtype=jnp.int32)[:, None],
+                      Gw - 1)
+    seg_t = jnp.take(genome_words, idx)  # (seg_w, B), word-major
+    tphase = (starts_u & 15).astype(jnp.int32)
 
-    def gather_text_words(ref_idx):
-        gchar = starts_u.reshape(B) + ref_idx.reshape(B).astype(jnp.uint32)
-        w0 = (gchar >> 4).astype(jnp.int32)  # word index fits int32 (<2^28)
-        idx = jnp.minimum(w0[None, :] + nwd_iota[:, None], Gw - 1)
-        words = jnp.take(genome_words, idx)  # (NWD, B)
-        toff = ((gchar & 15) * 2).astype(jnp.int32)
-        return words, toff
+    pattern_t = jnp.pad(pattern_words, ((0, 0), (0, NWD2))).T
 
-    return _align_scan(cfg, sk, kw, max_windows, gather_text_words,
-                       pattern_words, text_len, pattern_len)
+    return _align_scan(cfg, sk, kw, max_windows, seg_t, tphase,
+                       text_len, pattern_t, pattern_len)
 
 
 @functools.partial(jax.jit, static_argnums=(2,))

@@ -92,7 +92,7 @@ def test_pallas_api_matches_oracle():
         assert a.cigar == cigar
 
 
-@pytest.mark.parametrize("wko", [(16, 16, 9), (64, 64, 33)])
+@pytest.mark.parametrize("wko", [(16, 16, 9), (64, 64, 33), (128, 128, 65)])
 def test_pallas_other_configs(wko):
     W, K, O = wko
     cfg = AlignConfig(W=W, K=K, O=O, backend="pallas", batch_tile=128)
@@ -107,6 +107,33 @@ def test_pallas_other_configs(wko):
         assert a.cigar == cigar
 
 
+def test_pallas_long_reads_no_spurious_failures():
+    """Multi-slab reads must not fail lanes on the device path. A failed
+    lane silently falls back to the bit-exact scalar retry, so parity
+    tests cannot catch a fail storm — only the raw engine flags can.
+    (Regression: the slab-slice base clamp near the sequence end once
+    blew the drift margin and failed every lane of every long read.)"""
+    cfg = _AC(W=64, K=64, O=33)
+    B, rl, tl = 256, 600, 680
+    rng = np.random.default_rng(9)
+    text = rng.integers(0, 4, (B, tl), dtype=np.uint8)
+    pattern = np.where(
+        rng.random((B, rl)) < 0.05,
+        rng.integers(0, 4, (B, rl), dtype=np.uint8),
+        text[:, :rl]).astype(np.uint8)
+    tlen = np.full(B, tl, np.int32)
+    plen = np.full(B, rl, np.int32)
+    maxw = cfg.max_windows(rl)
+    rp = engine_pallas.align_batch(
+        cfg, maxw, 2, 8,
+        engine_pallas.pack_2bit_host(text), tlen,
+        engine_pallas.pack_2bit_host(pattern), plen)
+    rx = engine_xla.align_batch(cfg, maxw, text, tlen, pattern, plen)
+    assert int(np.asarray(rp.failed).sum()) == 0
+    np.testing.assert_array_equal(np.asarray(rp.edit_distance),
+                                  np.asarray(rx.edit_distance))
+
+
 def test_pallas_vmem_fallback_resolution():
     from scrooge_tpu.api import _resolve_backend
 
@@ -114,5 +141,10 @@ def test_pallas_vmem_fallback_resolution():
     assert not engine_pallas.fits_vmem(big)
     engine, _, _ = _resolve_backend(big, 1024)
     assert engine == "xla"
+    # the tb_cap'd R scratch keeps W<=192 on the Pallas engine
+    for wko in [(128, 128, 65), (192, 192, 97)]:
+        cfg = _AC(W=wko[0], K=wko[1], O=wko[2])
+        sk, kw = engine_pallas.choose_kernel_shape(cfg, 256)
+        assert sk > 0, wko
     with pytest.raises(ValueError, match="does not fit VMEM"):
         _resolve_backend(_AC(W=256, K=256, O=129, backend="pallas"), 1024)
