@@ -15,11 +15,13 @@ TPU-first design decisions (deliberately NOT the GPU mapping):
    so the fill runs the CPU-style sequential (d, i) loops with every lane
    advancing in lockstep; cross-lane communication is zero.
  - sequences are 2-bit packed, 16 bases/uint32 word (the reference packs
-   4 bases/byte, genasm_gpu.cu:162-189), and the outer scan gathers one
-   SLAB of (KW-1)*TB + W chars per KW windows: XLA TPU gathers cost
-   ~8ns/element regardless of width, so slab word-gathers cost ~25x less
-   than per-window byte gathers — the difference between glue-bound and
-   compute-bound. Window extraction from the slab happens in-kernel at
+   4 bases/byte, genasm_gpu.cu:162-189), stored word-major (Wd, B), and
+   the outer scan ships one SLAB of (KW-1)*TB + W chars per KW windows
+   as a CONTIGUOUS dynamic_slice at the active lanes' minimum word base
+   — per-lane gathers (which cost per element on TPU and measured ~40%
+   of runtime) are gone; per-lane word offsets up to SLAB_MARGIN_WORDS
+   normalize in-kernel and beyond-margin drifters fail to the exact
+   retry path. Window extraction from the slab happens in-kernel at
    2-bit offsets (windows advance data-dependently by the traceback's
    consumed counts, which only the kernel knows).
  - early termination is batched per lane-tile: the d-loop is a while_loop
