@@ -53,10 +53,15 @@ def main():
     wall_s = time.perf_counter() - t0
 
     aligns_per_s = stats.aligns_per_second
+    # equivalent giga-cell-updates/s at cells_per_pair = read_len^2, the
+    # cross-aligner normalization the reference sweep uses
+    # (profile.py:415-434); GenASM itself touches only O(len*W) cells
+    gcups = aligns_per_s * read_len * read_len / 1e9
     print(
         f"# pairs={stats.num_pairs} core={stats.core_ns/1e9:.3f}s "
         f"wall={wall_s:.3f}s retried={stats.retried_pairs} "
-        f"end_to_end={stats.num_pairs/wall_s:.1f} aligns/s",
+        f"end_to_end={stats.num_pairs/wall_s:.1f} aligns/s "
+        f"gcups_equiv={gcups:.1f}",
         file=sys.stderr,
     )
     print(json.dumps({
@@ -64,6 +69,8 @@ def main():
         "value": round(aligns_per_s, 1),
         "unit": "aligns/s",
         "vs_baseline": round(aligns_per_s / BASELINE_ALIGNS_PER_S, 4),
+        "gcups_equivalent": round(gcups, 2),
+        "end_to_end_aligns_per_second": round(stats.num_pairs / wall_s, 1),
     }))
 
 

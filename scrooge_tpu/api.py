@@ -140,9 +140,14 @@ def _resolve_backend(cfg: AlignConfig, batch: int):
     sk, kw = engine_pallas.choose_kernel_shape(cfg, S)
     if cfg.backend == "pallas":
         if sk == 0:
+            if not engine_pallas.fits_vmem(cfg):
+                raise ValueError(
+                    f"W={cfg.W} K={cfg.K} O={cfg.O} DP state does not fit "
+                    "VMEM at any kernel tile; use backend='xla'")
             raise ValueError(
-                f"W={cfg.W} K={cfg.K} O={cfg.O} DP state does not fit VMEM; "
-                "use backend='xla'")
+                f"batch_tile={batch} is incompatible with kernel tiling "
+                "(no Mosaic-legal sublane tile divides it at this VMEM "
+                "budget); use a multiple of 1024")
         return "pallas", sk, kw
     if sk > 0 and jax.default_backend() == "tpu":
         return "pallas", sk, kw
@@ -208,6 +213,53 @@ def _retry_pyref(cfg, text_codes: np.ndarray, pattern_codes: np.ndarray,
     return Alignment(cigar=cigar, edit_distance=ed)
 
 
+def _retry_batched_xla(cfg, items, stats, results):
+    """Batched retry for lanes the Pallas engine failed.
+
+    The Pallas engine gives up on a window whose edit distance exceeds
+    tb_cap (and on pathological slab drift); the XLA engine searches the
+    full K with no drift constraints, so retrying THERE — one batched
+    device call over all failed pairs — avoids the ~10^3x cost cliff of
+    per-pair scalar retries (real read-mapping inputs contain garbage
+    candidate locations that fail en masse). Only pairs the full-K engine
+    also rejects fall through to the exact scalar path, which raises
+    AlignmentError for genuinely unalignable pairs.
+
+    items: list of (result_index, text_codes, pattern_codes).
+    Writes Alignment objects into results[result_index].
+    """
+    from .ops import engine_xla
+
+    if not items:
+        return
+    stats.retried_pairs += len(items)
+    chunk = max(cfg.batch_tile, 128)
+    for c0 in range(0, len(items), chunk):
+        part = items[c0 : c0 + chunk]
+        B = _bucket_lin(len(part), 128)
+        P = _bucket_lin(max((len(p) for _, _, p in part), default=1) or 1,
+                        1024)
+        T = _bucket_lin(max((len(t) for _, t, _ in part), default=1) or 1,
+                        1024)
+        longest = max((len(p) for _, _, p in part), default=1) or 1
+        maxw = -(-cfg.max_windows(longest) // 32) * 32
+        text = np.zeros((B, T), np.uint8)
+        pattern = np.zeros((B, P), np.uint8)
+        tlen = np.zeros(B, np.int32)
+        plen = np.zeros(B, np.int32)
+        tlen[: len(part)] = _fill_rows(text, [t for _, t, _ in part])
+        plen[: len(part)] = _fill_rows(pattern, [p for _, _, p in part])
+        args = _device_put_synced(text, tlen, pattern, plen)
+        res = engine_xla.align_batch(cfg, maxw, *args)
+        eds, cigars, failed = _build_alignments(cfg, part, res, stats)
+        for lane, (ri, t, p) in enumerate(part):
+            if failed[lane]:
+                results[ri] = _retry_pyref(cfg, t, p, ri)
+            else:
+                results[ri] = Alignment(cigar=cigars[lane],
+                                        edit_distance=int(eds[lane]))
+
+
 def _log_throughput(stats: AlignStats):
     if enabled_algorithm_log:
         print(
@@ -256,6 +308,7 @@ def align_pairs(
 
     order = sorted(range(len(texts)), key=lambda i: -len(queries[i]))
     results: List[Optional[Alignment]] = [None] * len(texts)
+    retry_items: List[tuple] = []
 
     tile_size = cfg.batch_tile
     for t0 in range(0, len(order), tile_size):
@@ -299,12 +352,12 @@ def align_pairs(
             sparse_rows=(engine == "pallas"))
         for lane, i in enumerate(idxs):
             if failed[lane]:
-                stats.retried_pairs += 1
-                results[i] = _retry_pyref(cfg, text_codes[i], query_codes[i], i)
+                retry_items.append((i, text_codes[i], query_codes[i]))
             else:
                 results[i] = Alignment(cigar=cigars[lane],
                                        edit_distance=int(eds[lane]))
 
+    _retry_batched_xla(cfg, retry_items, stats, results)
     _log_throughput(stats)
     return (results, stats) if return_stats else results
 
@@ -346,24 +399,35 @@ def align_reads(
 
     genome_codes = encode_np(reference.content)
     glen = len(genome_codes)
-    # pad to a power-of-two bucket so XLA traces once per bucket, not per
-    # genome length (padding is never read: text_len clamps usable text)
-    gpad = _bucket(max(glen, 1))
-    genome_padded = (np.pad(genome_codes, (0, gpad - glen))
-                     if gpad != glen else genome_codes)
+    # pad to a linear bucket so XLA traces once per bucket, not per genome
+    # length (padding is never read: text_len clamps usable text). Linear
+    # rather than power-of-two: the packed one-time upload amortizes the
+    # occasional retrace, and pow2 padding doubles peak memory at worst.
+    gpad = _bucket_lin(max(glen, 1), 1 << 22)
     if engine == "pallas":
         # 2-bit packed words: the genome uploads once at 1/4 the bytes and
-        # window gathers pull whole words (engine_pallas docstring)
-        grouped = genome_padded.astype(np.uint32).reshape(-1, 16)
-        shifts = np.arange(16, dtype=np.uint32) * 2
-        genome_dev = jnp.asarray((grouped << shifts).sum(
-            axis=1, dtype=np.uint32))
+        # window gathers pull whole words (engine_pallas docstring).
+        # Packed in chunks through pack_2bit_host (native C++ when built):
+        # peak host memory stays ~1.25 bytes/base even for human-scale
+        # genomes, instead of ~8 bytes/base for a whole-genome uint32 blow-up.
+        packed = np.zeros(gpad // 16, np.uint32)
+        CHUNK = 1 << 24  # chars per chunk (multiple of 16)
+        for s in range(0, glen, CHUNK):
+            chunk = genome_codes[s : s + CHUNK]
+            if len(chunk) % 16:
+                chunk = np.pad(chunk, (0, 16 - len(chunk) % 16))
+            packed[s // 16 : s // 16 + len(chunk) // 16] = \
+                engine_pallas.pack_2bit_host(chunk[None, :])[0]
+        genome_dev = jnp.asarray(packed)
     else:
+        genome_padded = (np.pad(genome_codes, (0, gpad - glen))
+                         if gpad != glen else genome_codes)
         genome_dev = jnp.asarray(genome_padded)
     query_codes = [encode_np(read.content) for _, read in pairs]
 
     order = sorted(range(len(pairs)), key=lambda i: -len(query_codes[i]))
     results: List[Optional[Alignment]] = [None] * len(pairs)
+    retry_items: List[tuple] = []
 
     tile_size = cfg.batch_tile
     n_tiles = -(-len(order) // tile_size) if order else 0
@@ -418,27 +482,37 @@ def align_reads(
                 sparse_rows=(engine == "pallas"))
             for lane, i in enumerate(idxs):
                 if failed[lane]:
-                    stats.retried_pairs += 1
                     start = pairs[i][0]
                     end = min(glen, start + int(tlen[lane]))
-                    results[i] = _retry_pyref(cfg, genome_codes[start:end],
-                                              query_codes[i], i)
+                    retry_items.append((i, genome_codes[start:end],
+                                        query_codes[i]))
                 else:
                     results[i] = Alignment(cigar=cigars[lane],
                                            edit_distance=int(eds[lane]))
 
         # overlap host post-processing of this tile with the next tile's
         # device work (readback + C++ formatting release the GIL)
-        if pending is not None:
-            pending.result()
-        pending = pool.submit(postprocess) if pool is not None else None
-        if pending is None:
-            postprocess()
+        try:
+            if pending is not None:
+                pending.result()
+            pending = pool.submit(postprocess) if pool is not None else None
+            if pending is None:
+                postprocess()
+        except BaseException:
+            # drain + shut down the worker so a failing tile surfaces
+            # immediately and never leaks the pool thread
+            if pool is not None:
+                pool.shutdown(wait=True, cancel_futures=True)
+            raise
 
     if pending is not None:
-        pending.result()
-    if pool is not None:
-        pool.shutdown()
+        try:
+            pending.result()
+        finally:
+            pool.shutdown(wait=True)
+    elif pool is not None:
+        pool.shutdown(wait=True)
+    _retry_batched_xla(cfg, retry_items, stats, results)
     _log_throughput(stats)
     return (results, stats) if return_stats else results
 

@@ -3,14 +3,21 @@
 The reference vendors third-party baselines (edlib, ksw2, WFA — ~22k LoC,
 baseline_algorithms/) and compares GenASM accuracy/throughput against them
 (cpu_baseline.cpp:727-875). This module provides first-party equivalents of
-the comparison role those baselines play: an EXACT semiglobal edit-distance
-aligner with traceback (the accuracy gold standard edlib fills in the
-reference, EDLIB_MODE_SHW, cpu_baseline.cpp:355), as vectorized numpy
-row-DP. Affine-gap rescoring for score comparisons lives in cigar.py /
-native.affine_scores.
+the comparison roles those baselines play:
 
-If the `edlib` PyPI package is installed it can be used to cross-check
-(optional; tests skip otherwise).
+ - ``exact_semiglobal``: EXACT semiglobal edit distance + traceback (the
+   accuracy gold standard edlib fills in the reference, EDLIB_MODE_SHW,
+   cpu_baseline.cpp:355), as vectorized numpy row-DP.
+ - ``affine_semiglobal``: exact affine-gap scoring (the ksw2 / WFA-exact
+   role, cpu_baseline.cpp:155-292).
+ - ``banded_semiglobal``: adaptive band-doubling edit-distance aligner
+   (the WFA-adaptive / banded role, cpu_baseline.cpp:418-453): exact
+   results, O(m*band) work on easy pairs.
+ - ``edlib_semiglobal``: optional cross-check through the third-party
+   `edlib` PyPI package when it is installed (tests skip otherwise).
+
+Affine-gap rescoring for score comparisons lives in cigar.py /
+native.affine_scores.
 """
 
 from __future__ import annotations
@@ -164,6 +171,108 @@ def affine_semiglobal(text: str, query: str, match: int = 2,
                 i -= 1
                 state = "H"
     return score, "".join(f"{c}{op}" for c, op in reversed(runs))
+
+
+def _banded_attempt(t: np.ndarray, q: np.ndarray, b: int):
+    """One banded pass at half-width b; returns (ed, cigar) or None when
+    no in-band path reaches row m. Slot k of a row holds column
+    j = i + k - b (the Ukkonen diagonal band)."""
+    n, m = len(t), len(q)
+    width = 2 * b + 1
+    INF = np.int32(1 << 28)
+    ks = np.arange(width, dtype=np.int32)
+    D = np.full((m + 1, width), INF, np.int32)
+    j0 = ks - b
+    row0_ok = (j0 >= 0) & (j0 <= n)
+    D[0][row0_ok] = j0[row0_ok]
+    for i in range(1, m + 1):
+        j = i + ks - b
+        valid = (j >= 0) & (j <= n)
+        prev = D[i - 1]
+        tj = np.clip(j - 1, 0, n - 1)
+        mism = (t[tj] != q[i - 1]).astype(np.int32)
+        sub = np.where(j >= 1, np.minimum(prev, INF) + mism, INF)
+        ins = np.concatenate((prev[1:], [INF])) + 1  # same j, row i-1
+        a = np.minimum(sub, ins)
+        zslot = b - i  # slot where j == 0: i leading insertions
+        if 0 <= zslot < width:
+            a[zslot] = min(a[zslot], i)
+        # deletions run along the row from smaller j (slot k-1) to k:
+        # cur[k] = min_{k' <= k} a[k'] + (k - k')
+        run = np.minimum.accumulate(a - ks) + ks
+        cur = np.minimum(a, run)
+        cur[~valid] = INF
+        D[i] = cur
+    endk = int(np.argmin(D[m]))
+    ed = int(D[m][endk])
+    if ed >= int(INF):
+        return None
+
+    runs = []
+
+    def emit(op):
+        if runs and runs[-1][1] == op:
+            runs[-1][0] += 1
+        else:
+            runs.append([1, op])
+
+    i, k = m, endk
+    while i > 0 or (i + k - b) > 0:
+        j = i + k - b
+        cell = int(D[i, k])
+        if (i > 0 and j > 0
+                and cell == int(D[i - 1, k]) + (t[j - 1] != q[i - 1])):
+            emit("=" if t[j - 1] == q[i - 1] else "X")
+            i -= 1
+        elif i > 0 and k + 1 < width and cell == int(D[i - 1, k + 1]) + 1:
+            emit("I")
+            i, k = i - 1, k + 1
+        elif i > 0 and j == 0 and cell == i:
+            emit("I")
+            i, k = i - 1, k + 1
+        else:
+            emit("D")
+            k -= 1
+    return ed, "".join(f"{c}{op}" for c, op in reversed(runs))
+
+
+def banded_semiglobal(text: str, query: str,
+                      initial_band: int = 16) -> Tuple[int, str]:
+    """Adaptive band-doubling semiglobal aligner (the banded/adaptive
+    role WFA-adaptive plays in the reference, cpu_baseline.cpp:418-453).
+
+    Runs the Ukkonen diagonal band at half-width b and doubles b until the
+    computed distance is <= b (then no path can profitably leave the band,
+    so the result equals the exact optimum — verified against
+    exact_semiglobal in tests). Easy pairs finish at the initial band in
+    O(m*b) work; worst case degrades to the full table.
+    """
+    n, m = len(text), len(query)
+    if m == 0:
+        return 0, ""
+    if n == 0:
+        return m, f"{m}I"
+    t = np.frombuffer(text.encode(), np.uint8)
+    q = np.frombuffer(query.encode(), np.uint8)
+    b = max(1, initial_band)
+    while True:
+        out = _banded_attempt(t, q, b)
+        if out is not None and (out[0] <= b or b >= n + m):
+            return out
+        b *= 2
+
+
+def edlib_semiglobal(text: str, query: str) -> int:
+    """Third-party cross-check: semiglobal edit distance via the `edlib`
+    PyPI package (EDLIB_MODE_SHW, the mode the reference drives it in,
+    cpu_baseline.cpp:355). Optional dependency: raises ImportError when
+    edlib is not installed; tests/test_baselines.py skips then."""
+    import edlib
+
+    if len(query) == 0:
+        return 0
+    r = edlib.align(query, text, mode="SHW", task="distance")
+    return int(r["editDistance"])
 
 
 def semiglobal_distance(text: str, query: str) -> int:

@@ -8,7 +8,8 @@ with this framework's algorithm set:
   genasm_xla     — the portable XLA engine
   genasm_pyref   — the scalar oracle
   exact          — exact semiglobal edit-distance DP (the edlib role)
-  affine         — exact affine-gap Gotoh DP (the ksw2/WFA role)
+  affine         — exact affine-gap Gotoh DP (the ksw2/WFA-exact role)
+  banded         — adaptive band-doubling aligner (the WFA-adaptive role)
 
 Output formats are API (scraped by sweep tooling, profile.py:293 regex):
   "<algorithm>: <N.NN> aligns/second"
@@ -22,7 +23,8 @@ import time
 from typing import List
 
 from .. import api
-from ..baselines import affine_semiglobal, exact_semiglobal
+from ..baselines import (affine_semiglobal, banded_semiglobal,
+                         exact_semiglobal)
 from ..cigar import affine_score
 from ..config import AlignConfig
 from ..datamodel import Alignment
@@ -35,7 +37,7 @@ Options:
 --reads=[path to reads FASTQ]         -- override default reads data for performance test
 --seeds=[path to MAF or PAF]          -- override default seeds data for performance test
 --threads=[TILE[,MORE_TILES]]         -- run benchmarks with the given list of batch tiles (lanes) default:2048
---algorithms=[ALGORITHM[,MORE ALGORITHMS]] -- run only the specified algorithms, supported are: genasm_device, genasm_xla, genasm_pyref, exact, affine
+--algorithms=[ALGORITHM[,MORE ALGORITHMS]] -- run only the specified algorithms, supported are: genasm_device, genasm_xla, genasm_pyref, exact, affine, banded
 --scoring=[MAT],[SUB],[GAPO],[GAPE]   -- set affine gap model scoring function, all values should be positive default:2,4,4,2
 --simulated=[N[,LEN]]                 -- use a built-in simulated dataset instead of files
 --verbose                             -- print progress to stderr. Otherwise, only benchmark results are printed
@@ -48,7 +50,7 @@ ALLOWED = ["--reference", "--reads", "--seeds", "--threads", "--algorithms",
            "--scoring", "--simulated", "--verbose", "--accuracy", "--cigar",
            "--help"]
 ALL_ALGS = ["genasm_device", "genasm_xla", "genasm_pyref", "exact",
-            "affine"]
+            "affine", "banded"]
 
 
 def _load(args):
@@ -72,7 +74,7 @@ def _load(args):
 
 
 def _align_with(alg: str, genome, reads, tile: int):
-    if alg in ("exact", "affine"):
+    if alg in ("exact", "affine", "banded"):
         out: List[Alignment] = []
         t0 = time.perf_counter_ns()
         for read in reads:
@@ -81,6 +83,8 @@ def _align_with(alg: str, genome, reads, tile: int):
                 text = genome.content[start : start + 2 * len(read.content) + 64]
                 if alg == "exact":
                     ed, cg = exact_semiglobal(text, read.content)
+                elif alg == "banded":
+                    ed, cg = banded_semiglobal(text, read.content)
                 else:
                     _, cg = affine_semiglobal(text, read.content)
                     from ..cigar import edits_in_cigar

@@ -35,12 +35,16 @@ Options:
 --unit_tests                          -- run unit tests (default: disabled)
 --cpu_performance_test                -- run the portable XLA-engine performance test (default: TPU/Pallas)
 --profile=[trace dir]                 -- capture a jax.profiler trace of the performance run
+--simulated=[N[,LEN]]                 -- use a built-in simulated dataset instead of files
+--read_length_cap=[N]                 -- truncate every read to N characters (tests.cu:361-365)
+--dataset_inflation=[N]               -- duplicate the read set N times (tests.cu:367-373)
 --help                                -- displays this information
 """
 
 ALLOWED = ["--reference", "--reads", "--seeds", "--device_info_only",
            "--verbose", "--unit_tests", "--cpu_performance_test",
-           "--profile", "--help"]
+           "--profile", "--simulated", "--read_length_cap",
+           "--dataset_inflation", "--help"]
 
 # Golden cases from the reference kernel unit tests (tests.cu:183-196):
 # 9 handcrafted reads against a 16bp reference, expected edit distances
@@ -222,7 +226,9 @@ def library_interface_correctness_test() -> bool:
 
 def performance_test(reference_file: str, reads_file: str, seeds_file: str,
                      cfg: AlignConfig, device_name: str,
-                     profile_dir: str = None) -> None:
+                     profile_dir: str = None, simulated: str = None,
+                     read_length_cap: int = -1,
+                     dataset_inflation: int = 1) -> None:
     """Performance run over a dataset directory's files
     (tests.cu:335-487 analogue: filter reverse strands, sort by length
     descending, align, CIGAR-validate every pair, print timing lines)."""
@@ -235,14 +241,35 @@ def performance_test(reference_file: str, reads_file: str, seeds_file: str,
             print(msg, file=sys.stderr)
 
     vlog("Starting performance test...")
-    vlog("Reading reference sequence...")
-    genome = sio.read_genome(reference_file)
-    vlog("Reading reads files...")
-    reads = sio.read_fastq_and_seed_locations(genome, reads_file, seeds_file)
+    if simulated is not None:
+        from ..utils.simulate import simulate_dataset
+
+        parts = (simulated or "").split(",")
+        num = int(parts[0]) if parts[0] else 256
+        rlen = int(parts[1]) if len(parts) > 1 else 2000
+        ds = simulate_dataset(genome_len=500_000, num_reads=num,
+                              read_len=rlen, accuracy=0.95, seed=13)
+        genome, reads = ds.genome, ds.reads
+    else:
+        vlog("Reading reference sequence...")
+        genome = sio.read_genome(reference_file)
+        vlog("Reading reads files...")
+        reads = sio.read_fastq_and_seed_locations(genome, reads_file,
+                                                  seeds_file)
 
     vlog("Filtering reads...")
     for read in reads:
         read.locations = [l for l in read.locations if l.strand]
+
+    # workload-shaping knobs (tests.cu:361-373): truncate reads, then
+    # duplicate the read set to inflate the dataset
+    if read_length_cap >= 0:
+        for read in reads:
+            read.content = read.content[:read_length_cap]
+    if dataset_inflation > 1:
+        base = list(reads)
+        for _ in range(dataset_inflation - 1):
+            reads.extend(base)
 
     vlog("Sorting reads...")
     reads.sort(key=lambda r: -len(r.content))
@@ -311,6 +338,18 @@ def main(argv: List[str] = None) -> int:
     bad |= st == opt.Opt.INVALID
     st, profile_dir = opt.get_value(args, "--profile", None)
     bad |= st == opt.Opt.INVALID
+    st, simulated = opt.get_value(args, "--simulated")
+    simulated = simulated if st == opt.Opt.VALUE else None
+    bad |= st == opt.Opt.INVALID
+    st, cap_s = opt.get_value(args, "--read_length_cap", "-1")
+    bad |= st == opt.Opt.INVALID
+    st, infl_s = opt.get_value(args, "--dataset_inflation", "1")
+    bad |= st == opt.Opt.INVALID
+    try:
+        read_length_cap, dataset_inflation = int(cap_s), int(infl_s)
+    except ValueError:
+        bad = True
+        read_length_cap, dataset_inflation = -1, 1
     bad |= "--help" in args
 
     if bad:
@@ -339,12 +378,14 @@ def main(argv: List[str] = None) -> int:
     if cpu_perf == opt.Opt.EXISTS:
         cfg = AlignConfig(backend="xla")
         performance_test(reference_file, reads_file, seeds_file, cfg, "XLA",
-                         profile_dir)
+                         profile_dir, simulated, read_length_cap,
+                         dataset_inflation)
     else:
         print_device_info()
         cfg = AlignConfig(backend="auto")
         performance_test(reference_file, reads_file, seeds_file, cfg, "TPU",
-                         profile_dir)
+                         profile_dir, simulated, read_length_cap,
+                         dataset_inflation)
     return 0
 
 

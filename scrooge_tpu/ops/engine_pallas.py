@@ -146,7 +146,10 @@ def choose_kernel_shape(cfg: AlignConfig, S: int,
     shapes trade slab fusion for VMEM so larger-W configs (W=128 at ~72MB
     scratch) still run on the Pallas engine. Returns (0, 0) if nothing fits.
     """
-    candidates = [min(32, S), min(16, S), min(8, S)]
+    # S itself is always Mosaic-legal (a block dim equal to the full
+    # dimension needs no divisibility), so batches whose S has no small
+    # multiple-of-8 divisor still get a (single-tile) kernel if it fits
+    candidates = [min(32, S), min(16, S), min(8, S), S]
     if _SK_OVERRIDE:  # measurement-only tile override (see _ABLATE)
         candidates = [min(_SK_OVERRIDE, S)]
     kws = (DEFAULT_KW, 4, 2, 1)
@@ -861,10 +864,19 @@ def _align_scan(cfg: AlignConfig, sk: int, kw: int, max_windows: int,
 
     def slab_slice(buf_t, cpos, act):
         """One contiguous slab for the whole batch: words (NWD2, B),
-        per-lane in-slab bit offsets, and the beyond-margin mask."""
+        per-lane in-slab bit offsets, and the beyond-margin mask.
+
+        The base is the active lanes' minimum word position, UNLESS the
+        active spread exceeds the drift margin: then base = max - M, so a
+        single pathological laggard (e.g. an insertion-dominated garbage
+        candidate whose text cursor crawls) fails alone instead of
+        dragging the base down and spuriously failing every other lane in
+        the batch to the retry path."""
         wd = buf_t.shape[0]
         w0 = cpos >> 4
-        base = jnp.min(jnp.where(act, w0, jnp.int32(1 << 30)))
+        w0min = jnp.min(jnp.where(act, w0, jnp.int32(1 << 30)))
+        w0max = jnp.max(jnp.where(act, w0, jnp.int32(-1)))
+        base = jnp.maximum(w0min, w0max - M)
         base = jnp.clip(base, 0, max(wd - NWD2, 0))
         words = lax.dynamic_slice(buf_t, (base, jnp.int32(0)), (NWD2, B))
         woff = w0 - base

@@ -60,6 +60,28 @@ def test_single_window_genasm_is_exact():
         assert ed == semiglobal_distance(t, q)
 
 
+def test_banded_adaptive_is_exact():
+    """The band-doubling aligner must reproduce the exact optimum (it
+    doubles until ed <= band) and emit a valid CIGAR, from a deliberately
+    tiny initial band so the doubling path is exercised."""
+    from scrooge_tpu.baselines import banded_semiglobal
+
+    for t, q in _cases(11, 60):
+        ed, cigar = banded_semiglobal(t, q, initial_band=1)
+        assert ed == _brute_semiglobal(t, q), (t, q)
+        validate_cigar(cigar, ed, t, q)
+
+
+def test_edlib_crosscheck():
+    """Optional third-party cross-check (skipped unless `pip install
+    edlib` was run in the host environment)."""
+    pytest.importorskip("edlib")
+    from scrooge_tpu.baselines import edlib_semiglobal
+
+    for t, q in _cases(12, 40):
+        assert edlib_semiglobal(t, q) == _brute_semiglobal(t, q)
+
+
 def _brute_affine(text, query, match=2, mismatch=4, go=4, ge=2):
     """Scalar Gotoh reference for the affine baseline."""
     n, m = len(text), len(query)

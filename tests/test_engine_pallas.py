@@ -134,6 +134,64 @@ def test_pallas_long_reads_no_spurious_failures():
                                   np.asarray(rx.edit_distance))
 
 
+def test_garbage_candidates_batched_retry():
+    """Wrong seed locations (real read-mapping inputs contain them en
+    masse) push per-window edit distances past the Pallas tb_cap; those
+    lanes must route through the BATCHED full-K XLA retry — not the
+    ~1000x-slower scalar path — and still return bit-exact results."""
+    import scrooge_tpu.api as api
+    from scrooge_tpu.datamodel import CandidateLocation, Genome, Read
+
+    rng = random.Random(41)
+    genome = "".join(rng.choice("ACGT") for _ in range(4000))
+    reads = []
+    for i in range(24):
+        start = rng.randint(0, 3000)
+        seg = genome[start : start + 160]
+        read = "".join(c for c in seg if rng.random() > 0.04)
+        # half the candidates are garbage: a random unrelated location
+        loc = start if i % 2 == 0 else (start + 1700) % 3000
+        reads.append(Read(description=f"r{i}", content=read,
+                          locations=[CandidateLocation(
+                              start_in_reference=loc)]))
+    cfg = AlignConfig(backend="pallas", batch_tile=128)
+    got, stats = api.align_reads(Genome(content=genome), reads, cfg,
+                                 return_stats=True)
+    assert stats.retried_pairs > 0  # the garbage half did fail the kernel
+    ref_cfg = AlignConfig()
+    for read, a in zip(reads, got):
+        start = read.locations[0].start_in_reference
+        ed, cigar = pyref.align_pair(genome[start:], read.content, ref_cfg)
+        assert a.edit_distance == ed
+        assert a.cigar == cigar
+
+
+def test_single_laggard_does_not_fail_batch():
+    """One insertion-dominated lane (its text cursor crawls) must fail
+    alone: the slab base follows the pack, not the laggard."""
+    cfg = _AC(W=64, K=64, O=33)
+    B, rl = 128, 600
+    rng = np.random.default_rng(13)
+    text = rng.integers(0, 4, (B, rl + 80), dtype=np.uint8)
+    pattern = np.where(
+        rng.random((B, rl)) < 0.03,
+        rng.integers(0, 4, (B, rl), dtype=np.uint8),
+        text[:, :rl]).astype(np.uint8)
+    # lane 0: unrelated random read — consumes text far slower than the
+    # 97%-match pack once windows stop matching cleanly
+    pattern[0] = rng.integers(0, 4, rl, dtype=np.uint8)
+    tlen = np.full(B, rl + 80, np.int32)
+    plen = np.full(B, rl, np.int32)
+    maxw = cfg.max_windows(rl)
+    rp = engine_pallas.align_batch(
+        cfg, maxw, 1, 8,
+        engine_pallas.pack_2bit_host(text), tlen,
+        engine_pallas.pack_2bit_host(pattern), plen)
+    failed = np.asarray(rp.failed)
+    # the healthy pack must survive regardless of what lane 0 does
+    assert int(failed[1:].sum()) == 0
+
+
 def test_pallas_vmem_fallback_resolution():
     from scrooge_tpu.api import _resolve_backend
 
