@@ -89,20 +89,43 @@ def _bucket_lin(n: int, step: int) -> int:
     return max(step, -(-n // step) * step)
 
 
-def _device_put_synced(*arrays):
+def _device_put_synced(*arrays, shardings=None):
     """device_put + force the transfers to complete.
 
     Keeps data transfer out of the timed core section (the reference's
     core_algorithm_ns likewise excludes transfers, genasm_gpu.cu:890-944).
     block_until_ready can return early on tunneled TPU plugins, so sync by
-    reading one element back from each buffer."""
+    reading one element back from each buffer. With ``shardings`` the
+    buffers are placed batch-sharded across the mesh directly (each
+    device receives only its shard)."""
     import jax
 
-    out = [jax.device_put(x) for x in arrays]
+    if shardings is None:
+        out = [jax.device_put(x) for x in arrays]
+    else:
+        out = [jax.device_put(x, s) for x, s in zip(arrays, shardings)]
     for x in out:
         if x.size:
             np.asarray(jax.numpy.ravel(x)[:1])
     return out
+
+
+def _resolve_mesh(cfg: AlignConfig):
+    """All-local-devices 1-D pairs mesh, or None on a single device.
+
+    The device count shrinks to the largest value whose per-device shard
+    is still a whole number of 128-lane tiles (length-sorted batching
+    keeps shards load-balanced; there is no work stealing on TPU)."""
+    import jax
+
+    n = len(jax.devices())
+    while n > 1 and cfg.batch_tile % (128 * n):
+        n -= 1
+    if n <= 1:
+        return None
+    from .parallel import mesh as mesh_mod
+
+    return mesh_mod.make_mesh(n)
 
 
 
@@ -120,7 +143,7 @@ def _fill_rows(buffer: np.ndarray, rows):
     return lens
 
 
-def _resolve_backend(cfg: AlignConfig, batch: int):
+def _resolve_backend(cfg: AlignConfig, batch: int, n_dev: int = 1):
     """Pick the device engine: ("pallas", sk, kw) or ("xla", 0, 0).
 
     "auto" uses the Pallas kernel whenever the config's DP state fits VMEM
@@ -128,7 +151,8 @@ def _resolve_backend(cfg: AlignConfig, batch: int):
     it would run interpreted, so auto falls back to XLA there). Large-W
     sweeps that overflow VMEM fall back to the XLA engine — the analogue of
     the reference GPU's shared->global DP memory fallback
-    (genasm_gpu.cu:584-600, DP_MEMORY=GLOBAL).
+    (genasm_gpu.cu:584-600, DP_MEMORY=GLOBAL). The kernel tile is chosen
+    from the PER-DEVICE sublane count when the batch is mesh-sharded.
     """
     import jax
 
@@ -136,7 +160,7 @@ def _resolve_backend(cfg: AlignConfig, batch: int):
 
     if cfg.backend == "xla":
         return "xla", 0, 0
-    S = batch // 128
+    S = batch // (128 * max(n_dev, 1))
     sk, kw = engine_pallas.choose_kernel_shape(cfg, S)
     if cfg.backend == "pallas":
         if sk == 0:
@@ -155,7 +179,7 @@ def _resolve_backend(cfg: AlignConfig, batch: int):
 
 
 def _build_alignments(cfg, tile_pairs, res, stats, eds_host=None,
-                      sparse_rows=False):
+                      sparse_rows=False, mesh=None):
     """Stringify device results and collect failures.
 
     The per-window run buffer is worst-case sized, so it is compacted on
@@ -163,6 +187,8 @@ def _build_alignments(cfg, tile_pairs, res, stats, eds_host=None,
     is the scarce resource), then formatted to strings in C++.
     sparse_rows selects the Pallas engine's sparse-row entry layout
     (engine_pallas.compact_entries_sparse) over the dense engine_xla one.
+    With ``mesh``, compaction runs shard_mapped so its flat-index binary
+    searches stay device-local instead of becoming cross-device gathers.
     """
     import jax.numpy as jnp
 
@@ -183,8 +209,20 @@ def _build_alignments(cfg, tile_pairs, res, stats, eds_host=None,
     # device->host readback is the scarce resource
     totals_host = np.asarray(jnp.sum(res.counts, axis=0))
     cap = _bucket_lin(max(int(totals_host.max(initial=0)), 1), 128)
+    use_u8 = cfg.tb_limit <= 63 and native.get_lib() is not None
+    if mesh is not None:
+        from .parallel import mesh as mesh_mod
+
+        def compact_entries(e, c, cap):  # noqa: F811 - mesh override
+            return mesh_mod.compact_on_mesh(mesh, e, c, cap, False,
+                                            sparse_rows)
+
+        def compact_entries_u8(e, c, cap):  # noqa: F811
+            return mesh_mod.compact_on_mesh(mesh, e, c, cap, True,
+                                            sparse_rows)
+
     cigars = None
-    if cfg.tb_limit <= 63 and native.get_lib() is not None:
+    if use_u8:
         # run counts fit 6 bits: uint8 readback halves the d2h bytes
         compacted, totals = compact_entries_u8(res.entries, res.counts, cap)
         ent_np, tot_np = np.asarray(compacted), np.asarray(totals)
@@ -301,7 +339,9 @@ def align_pairs(
 
     from .ops import engine_pallas, engine_xla
 
-    engine, sk, kw = _resolve_backend(cfg, cfg.batch_tile)
+    mesh = _resolve_mesh(cfg)
+    n_dev = int(mesh.devices.size) if mesh is not None else 1
+    engine, sk, kw = _resolve_backend(cfg, cfg.batch_tile, n_dev)
 
     text_codes = [encode_np(t) for t in texts]
     query_codes = [encode_np(q) for q in queries]
@@ -331,15 +371,26 @@ def align_pairs(
         plen[: len(idxs)] = _fill_rows(pattern,
                                        [query_codes[i] for i in idxs])
 
-        if engine == "pallas":
-            args = _device_put_synced(
-                engine_pallas.pack_2bit_host(text), tlen,
-                engine_pallas.pack_2bit_host(pattern), plen)
-        else:
-            args = _device_put_synced(text, tlen, pattern, plen)
+        np_args = ((engine_pallas.pack_2bit_host(text), tlen,
+                    engine_pallas.pack_2bit_host(pattern), plen)
+                   if engine == "pallas" else (text, tlen, pattern, plen))
+        shardings = None
+        if mesh is not None:
+            from .parallel import mesh as mesh_mod
+
+            sh2 = mesh_mod.pair_sharding(mesh, 0, 2)
+            sh1 = mesh_mod.pair_sharding(mesh, 0, 1)
+            shardings = (sh2, sh1, sh2, sh1)
+        args = _device_put_synced(*np_args, shardings=shardings)
         tns = time.perf_counter_ns()
         if engine == "pallas":
-            res = engine_pallas.align_batch(cfg, maxw, sk, kw, *args)
+            if mesh is not None:
+                res = mesh_mod.pallas_align_on_mesh(cfg, maxw, sk, kw, mesh,
+                                                    *args)
+            else:
+                res = engine_pallas.align_batch(cfg, maxw, sk, kw, *args)
+        elif mesh is not None:
+            res = mesh_mod.align_batch_on_mesh(cfg, maxw, mesh, *args)
         else:
             res = engine_xla.align_batch(cfg, maxw, *args)
         # sync via a tiny readback: block_until_ready can return early on
@@ -349,7 +400,7 @@ def align_pairs(
 
         eds, cigars, failed = _build_alignments(
             cfg, idxs, res, stats, eds_host,
-            sparse_rows=(engine == "pallas"))
+            sparse_rows=(engine == "pallas"), mesh=mesh)
         for lane, i in enumerate(idxs):
             if failed[lane]:
                 retry_items.append((i, text_codes[i], query_codes[i]))
@@ -395,7 +446,9 @@ def align_reads(
 
     from .ops import engine_pallas, engine_xla
 
-    engine, sk, kw = _resolve_backend(cfg, cfg.batch_tile)
+    mesh = _resolve_mesh(cfg)
+    n_dev = int(mesh.devices.size) if mesh is not None else 1
+    engine, sk, kw = _resolve_backend(cfg, cfg.batch_tile, n_dev)
 
     genome_codes = encode_np(reference.content)
     glen = len(genome_codes)
@@ -462,15 +515,28 @@ def align_reads(
         plen[: len(idxs)] = _fill_rows(pattern,
                                        [query_codes[i] for i in idxs])
 
-        if engine == "pallas":
-            args = _device_put_synced(
-                starts, tlen, engine_pallas.pack_2bit_host(pattern), plen)
-        else:
-            args = _device_put_synced(starts, tlen, pattern, plen)
+        np_args = ((starts, tlen, engine_pallas.pack_2bit_host(pattern),
+                    plen) if engine == "pallas"
+                   else (starts, tlen, pattern, plen))
+        shardings = None
+        if mesh is not None:
+            from .parallel import mesh as mesh_mod
+
+            sh2 = mesh_mod.pair_sharding(mesh, 0, 2)
+            sh1 = mesh_mod.pair_sharding(mesh, 0, 1)
+            shardings = (sh1, sh1, sh2, sh1)
+        args = _device_put_synced(*np_args, shardings=shardings)
         tns = time.perf_counter_ns()
         if engine == "pallas":
-            res = engine_pallas.align_batch_mapped(
-                cfg, maxw, sk, kw, genome_dev, *args)
+            if mesh is not None:
+                res = mesh_mod.pallas_align_mapped_on_mesh(
+                    cfg, maxw, sk, kw, mesh, genome_dev, *args)
+            else:
+                res = engine_pallas.align_batch_mapped(
+                    cfg, maxw, sk, kw, genome_dev, *args)
+        elif mesh is not None:
+            res = mesh_mod.align_batch_mapped_on_mesh(
+                cfg, maxw, mesh, genome_dev, *args)
         else:
             res = engine_xla.align_batch_mapped(cfg, maxw, genome_dev, *args)
         eds_host = np.asarray(res.edit_distance)
@@ -479,7 +545,7 @@ def align_reads(
         def postprocess(idxs=idxs, res=res, eds_host=eds_host, tlen=tlen):
             eds, cigars, failed = _build_alignments(
                 cfg, idxs, res, stats, eds_host,
-                sparse_rows=(engine == "pallas"))
+                sparse_rows=(engine == "pallas"), mesh=mesh)
             for lane, i in enumerate(idxs):
                 if failed[lane]:
                     start = pairs[i][0]

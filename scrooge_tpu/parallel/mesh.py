@@ -22,6 +22,7 @@ tests (XLA_FLAGS=--xla_force_host_platform_device_count=N).
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Sequence
 
 import jax
@@ -30,6 +31,11 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import AlignConfig
 from ..ops import engine_xla
+
+try:  # jax >= 0.6 exposes shard_map at the top level
+    shard_map = jax.shard_map
+except AttributeError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
 
 PAIR_AXIS = "pairs"
 
@@ -100,3 +106,114 @@ def align_batch_mapped_on_mesh(cfg: AlignConfig, max_windows: int, mesh: Mesh,
     with mesh:
         return engine_xla.align_batch_mapped(
             cfg, max_windows, genome, starts, text_len, pattern, pattern_len)
+
+
+# ---------------------------------------------------------------------------
+# Pallas engine on the mesh (the performance path).
+#
+# The fused window kernel is a custom call XLA cannot auto-partition, so the
+# mesh integration is shard_map over the pairs axis: each device runs the
+# full slab scan + kernel on its local lane tiles. Every cross-lane
+# operation inside the engine (the slab-base min/max, the batched
+# early-termination all, the compaction cap arithmetic) becomes SHARD-LOCAL
+# under shard_map — which is exactly the semantics we want: per-device slab
+# bases track only local lanes, per-device slab loops exit early
+# independently, and the steady state needs ZERO collectives
+# (test_parallel.py asserts the compiled HLO has none). This is the
+# dispatch role of the reference GPU's persistent-block work queue
+# (genasm_gpu.cu:583-629): static sharding + length-sorted batching
+# replaces device-side work stealing.
+# ---------------------------------------------------------------------------
+
+_RESULT_SPECS = engine_xla.BatchResult(
+    edit_distance=P(PAIR_AXIS),
+    failed=P(PAIR_AXIS),
+    entries=P(None, None, PAIR_AXIS),
+    counts=P(None, PAIR_AXIS),
+)
+
+
+@functools.lru_cache(maxsize=64)
+def _pallas_sharded_fn(cfg: AlignConfig, max_windows: int, sk: int, kw: int,
+                       mesh: Mesh, mapped: bool):
+    from ..ops import engine_pallas
+
+    if mapped:
+        in_specs = (P(), P(PAIR_AXIS), P(PAIR_AXIS),
+                    P(PAIR_AXIS, None), P(PAIR_AXIS))
+
+        def fn(genome, starts, text_len, pattern, pattern_len):
+            return engine_pallas.align_batch_mapped(
+                cfg, max_windows, sk, kw, genome, starts, text_len,
+                pattern, pattern_len)
+    else:
+        in_specs = (P(PAIR_AXIS, None), P(PAIR_AXIS),
+                    P(PAIR_AXIS, None), P(PAIR_AXIS))
+
+        def fn(text, text_len, pattern, pattern_len):
+            return engine_pallas.align_batch(
+                cfg, max_windows, sk, kw, text, text_len,
+                pattern, pattern_len)
+
+    # check_vma=False: pallas_call outputs carry no varying-mesh-axes
+    # metadata, and the engine is purely per-lane anyway
+    return jax.jit(shard_map(fn, mesh=mesh, in_specs=in_specs,
+                             out_specs=_RESULT_SPECS, check_vma=False))
+
+
+def pallas_align_on_mesh(cfg: AlignConfig, max_windows: int, sk: int,
+                         kw: int, mesh: Mesh, text_words, text_len,
+                         pattern_words, pattern_len):
+    """Sharded Pallas-engine unstructured alignment. sk must tile the
+    PER-DEVICE sublane count (use choose_kernel_shape on S // n_devices)."""
+    _check_batch(pattern_words.shape[0], mesh)
+    sh2 = pair_sharding(mesh, 0, 2)
+    sh1 = pair_sharding(mesh, 0, 1)
+    args = (jax.device_put(text_words, sh2),
+            jax.device_put(text_len, sh1),
+            jax.device_put(pattern_words, sh2),
+            jax.device_put(pattern_len, sh1))
+    return _pallas_sharded_fn(cfg, max_windows, sk, kw, mesh, False)(*args)
+
+
+def pallas_align_mapped_on_mesh(cfg: AlignConfig, max_windows: int, sk: int,
+                                kw: int, mesh: Mesh, genome_words, starts,
+                                text_len, pattern_words, pattern_len):
+    """Sharded Pallas-engine read-mapping: packed genome replicated in
+    every device's HBM (SURVEY §5: a packed human genome is ~0.75 GiB),
+    pairs sharded, per-pair segment gathers device-local."""
+    _check_batch(pattern_words.shape[0], mesh)
+    sh2 = pair_sharding(mesh, 0, 2)
+    sh1 = pair_sharding(mesh, 0, 1)
+    args = (jax.device_put(genome_words, replicated(mesh)),
+            jax.device_put(starts, sh1),
+            jax.device_put(text_len, sh1),
+            jax.device_put(pattern_words, sh2),
+            jax.device_put(pattern_len, sh1))
+    return _pallas_sharded_fn(cfg, max_windows, sk, kw, mesh, True)(*args)
+
+
+@functools.lru_cache(maxsize=64)
+def _compact_sharded_fn(mesh: Mesh, cap: int, u8: bool, sparse: bool):
+    from ..ops import engine_pallas, engine_xla as ex
+
+    if sparse:
+        inner = (engine_pallas.compact_entries_sparse_u8 if u8
+                 else engine_pallas.compact_entries_sparse)
+    else:
+        inner = ex.compact_entries_u8 if u8 else ex.compact_entries
+
+    def fn(entries, counts):
+        return inner(entries, counts, cap)
+
+    return jax.jit(shard_map(
+        fn, mesh=mesh,
+        in_specs=(P(None, None, PAIR_AXIS), P(None, PAIR_AXIS)),
+        out_specs=(P(None, PAIR_AXIS), P(PAIR_AXIS)), check_vma=False))
+
+
+def compact_on_mesh(mesh: Mesh, entries, counts, cap: int, u8: bool,
+                    sparse: bool):
+    """Device-local CIGAR-run compaction of sharded engine output (the
+    flat-index binary searches must not become cross-device gathers)."""
+    return _compact_sharded_fn(mesh, cap, u8, sparse)(entries, counts)
