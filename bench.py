@@ -64,6 +64,7 @@ def main():
         f"gcups_equiv={gcups:.1f}",
         file=sys.stderr,
     )
+    print(f"# {stats.breakdown()}", file=sys.stderr)
     print(json.dumps({
         "metric": "long_read_aligns_per_second",
         "value": round(aligns_per_s, 1),

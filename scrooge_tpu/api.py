@@ -63,16 +63,36 @@ def encode_np(seq: str) -> np.ndarray:
 @dataclass
 class AlignStats:
     """Timing stats; core_ns mirrors the reference's core_algorithm_ns
-    out-parameter (genasm_cpu.cpp:495,532-539)."""
+    out-parameter (genasm_cpu.cpp:495,532-539). The transfer fields are
+    telemetry for the host<->device pipeline (no reference analogue: the
+    reference uses managed memory and never sees transfer costs
+    explicitly; on TPU the PCIe/tunnel link is the scarce resource)."""
 
     num_pairs: int = 0
     core_ns: int = 0
     postprocess_ns: int = 0
     retried_pairs: int = 0
+    # pipeline telemetry
+    prep_ns: int = 0          # host-side encode/pack/tile fill
+    upload_ns: int = 0        # blocking h2d transfer time
+    upload_bytes: int = 0
+    compact_ns: int = 0       # device-side CIGAR-run compaction compute
+    readback_ns: int = 0      # blocking d2h transfer time (within postprocess)
+    readback_bytes: int = 0
+    format_ns: int = 0        # CIGAR stringification (within postprocess)
 
     @property
     def aligns_per_second(self) -> float:
         return self.num_pairs * 1e9 / max(self.core_ns, 1)
+
+    def breakdown(self) -> str:
+        f = lambda ns: f"{ns/1e9:.3f}s"
+        return (f"prep={f(self.prep_ns)} upload={f(self.upload_ns)}"
+                f"/{self.upload_bytes/1e6:.1f}MB core={f(self.core_ns)} "
+                f"compact={f(self.compact_ns)} "
+                f"readback={f(self.readback_ns)}"
+                f"/{self.readback_bytes/1e6:.1f}MB "
+                f"format={f(self.format_ns)} retried={self.retried_pairs}")
 
 
 def _bucket(n: int, minimum: int = 64) -> int:
@@ -89,7 +109,7 @@ def _bucket_lin(n: int, step: int) -> int:
     return max(step, -(-n // step) * step)
 
 
-def _device_put_synced(*arrays, shardings=None):
+def _device_put_synced(*arrays, shardings=None, stats=None):
     """device_put + force the transfers to complete.
 
     Keeps data transfer out of the timed core section (the reference's
@@ -100,6 +120,7 @@ def _device_put_synced(*arrays, shardings=None):
     device receives only its shard)."""
     import jax
 
+    t0 = time.perf_counter_ns()
     if shardings is None:
         out = [jax.device_put(x) for x in arrays]
     else:
@@ -107,6 +128,51 @@ def _device_put_synced(*arrays, shardings=None):
     for x in out:
         if x.size:
             np.asarray(jax.numpy.ravel(x)[:1])
+    if stats is not None:
+        stats.upload_ns += time.perf_counter_ns() - t0
+        stats.upload_bytes += sum(a.nbytes for a in arrays)
+    return out
+
+
+def _upload_rows_chunked(stats, n_rows: int, build_chunk,
+                         chunk_rows: int = 4096):
+    """Pipelined tile upload: build_chunk(c0, c1) -> np.ndarray producing
+    rows [c0, c1) of a row-major buffer; chunks are device_put on an IO
+    thread while the NEXT chunk is built on the main thread, then
+    concatenated on device. Host prep (encode/fill/2-bit pack, all
+    C/numpy, GIL-releasing) thus runs entirely under the h2d transfer of
+    the previous chunk — on a single-core host the only way prep is free.
+
+    Timing note: build time goes to stats.prep_ns and the enclosing wall
+    to stats.upload_ns, so prep_ns overlaps (is contained in) upload_ns
+    on this path. Single-device only (mesh tiles use _device_put_synced
+    with explicit shardings)."""
+    import jax
+    import jax.numpy as jnp
+    from concurrent.futures import ThreadPoolExecutor
+
+    t0 = time.perf_counter_ns()
+
+    def put(x):
+        d = jax.device_put(x)
+        np.asarray(jnp.ravel(d)[:1])  # force the transfer (see module doc)
+        stats.upload_bytes += x.nbytes
+        return d
+
+    devs = []
+    with ThreadPoolExecutor(max_workers=1) as up:
+        pending = None
+        for c0 in range(0, n_rows, chunk_rows):
+            tp = time.perf_counter_ns()
+            chunk = build_chunk(c0, min(c0 + chunk_rows, n_rows))
+            stats.prep_ns += time.perf_counter_ns() - tp
+            if pending is not None:
+                devs.append(pending.result())
+            pending = up.submit(put, chunk)
+        if pending is not None:
+            devs.append(pending.result())
+    out = devs[0] if len(devs) == 1 else jnp.concatenate(devs, axis=0)
+    stats.upload_ns += time.perf_counter_ns() - t0
     return out
 
 
@@ -222,17 +288,51 @@ def _build_alignments(cfg, tile_pairs, res, stats, eds_host=None,
                                             sparse_rows)
 
     cigars = None
-    if use_u8:
-        # run counts fit 6 bits: uint8 readback halves the d2h bytes
-        compacted, totals = compact_entries_u8(res.entries, res.counts, cap)
-        ent_np, tot_np = np.asarray(compacted), np.asarray(totals)
-        cigars = native.format_cigars_u8(ent_np, tot_np)
-    if cigars is None:
-        compacted, totals = compact_entries(res.entries, res.counts, cap)
-        ent_np, tot_np = np.asarray(compacted), np.asarray(totals)
-        cigars = native.format_cigars(ent_np, tot_np)
-    if cigars is None:  # no compiler available: numpy fallback
+    use_u8 = use_u8 and native.get_lib() is not None
+    fmt = native.format_cigars_u8 if use_u8 else native.format_cigars
+    compactor = compact_entries_u8 if use_u8 else compact_entries
+    compacted, totals = compactor(res.entries, res.counts, cap)
+    np.asarray(jnp.ravel(compacted)[:1])  # force: splits compute from d2h
+    stats.compact_ns += time.perf_counter_ns() - t0
+    # chunked column readback: d2h of chunk c+1 is a network wait that
+    # releases the GIL, so C++ formatting of chunk c runs under it —
+    # d2h and stringification fully overlap on a single-core host
+    B = int(res.counts.shape[-1])
+    n_chunks = min(8, max(1, B // 4096))
+    cb = B // n_chunks
+    chunks = [(c0, min(c0 + cb, B)) for c0 in range(0, B, cb)]
+    tot_np = np.asarray(totals)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def read_chunk(c0, c1):
+        tr0 = time.perf_counter_ns()
+        part = np.asarray(compacted[:, c0:c1])
+        stats.readback_ns += time.perf_counter_ns() - tr0
+        stats.readback_bytes += part.nbytes
+        return part
+
+    def fmt_chunk(part, tots):
+        out = fmt(part, tots)
+        if out is None:  # native formatter bailed: numpy fallback
+            p16 = (((part.astype(np.uint16) >> 6) << 12) | (part & 0x3F)
+                   if use_u8 else part)
+            out = entries_to_cigars(p16, tots)
+        return out
+
+    cigars = []
+    if native.get_lib() is None:
+        ent_np = np.asarray(compacted)
         cigars = entries_to_cigars(ent_np, tot_np)
+    else:
+        with ThreadPoolExecutor(max_workers=1) as rb_pool:
+            fut = rb_pool.submit(read_chunk, *chunks[0])
+            for ci, (c0, c1) in enumerate(chunks):
+                part = fut.result()
+                if ci + 1 < len(chunks):
+                    fut = rb_pool.submit(read_chunk, *chunks[ci + 1])
+                tf0 = time.perf_counter_ns()
+                cigars.extend(fmt_chunk(part, tot_np[c0:c1]))
+                stats.format_ns += time.perf_counter_ns() - tf0
     stats.postprocess_ns += time.perf_counter_ns() - t0
 
     eds = np.asarray(res.edit_distance) if eds_host is None else eds_host
@@ -343,8 +443,10 @@ def align_pairs(
     n_dev = int(mesh.devices.size) if mesh is not None else 1
     engine, sk, kw = _resolve_backend(cfg, cfg.batch_tile, n_dev)
 
+    tp0 = time.perf_counter_ns()
     text_codes = [encode_np(t) for t in texts]
     query_codes = [encode_np(q) for q in queries]
+    stats.prep_ns += time.perf_counter_ns() - tp0
 
     order = sorted(range(len(texts)), key=lambda i: -len(queries[i]))
     results: List[Optional[Alignment]] = [None] * len(texts)
@@ -363,25 +465,48 @@ def align_pairs(
         # rounded up to bound the number of distinct traced maxw values
         maxw = -(-cfg.max_windows(longest) // 32) * 32
 
-        text = np.zeros((B, T), np.uint8)
-        pattern = np.zeros((B, P), np.uint8)
+        tp0 = time.perf_counter_ns()
         tlen = np.zeros(B, np.int32)
         plen = np.zeros(B, np.int32)
-        tlen[: len(idxs)] = _fill_rows(text, [text_codes[i] for i in idxs])
-        plen[: len(idxs)] = _fill_rows(pattern,
-                                       [query_codes[i] for i in idxs])
+        tlen[: len(idxs)] = np.fromiter((len(text_codes[i]) for i in idxs),
+                                        np.int32, len(idxs))
+        plen[: len(idxs)] = np.fromiter((len(query_codes[i]) for i in idxs),
+                                        np.int32, len(idxs))
+        stats.prep_ns += time.perf_counter_ns() - tp0
 
-        np_args = ((engine_pallas.pack_2bit_host(text), tlen,
-                    engine_pallas.pack_2bit_host(pattern), plen)
-                   if engine == "pallas" else (text, tlen, pattern, plen))
-        shardings = None
-        if mesh is not None:
+        def build_rows(codes, width):
+            def build(c0, c1, idxs=idxs, width=width, codes=codes):
+                rows = np.zeros((c1 - c0, width), np.uint8)
+                for r, i in enumerate(idxs[c0:c1]):
+                    v = codes[i]
+                    rows[r, : len(v)] = v
+                return (engine_pallas.pack_2bit_host(rows)
+                        if engine == "pallas" else rows)
+            return build
+
+        if mesh is None:
+            text_dev = _upload_rows_chunked(stats, B,
+                                            build_rows(text_codes, T))
+            pattern_dev = _upload_rows_chunked(stats, B,
+                                              build_rows(query_codes, P))
+            small = _device_put_synced(tlen, plen, stats=stats)
+            args = (text_dev, small[0], pattern_dev, small[1])
+        else:
             from .parallel import mesh as mesh_mod
 
+            tp0 = time.perf_counter_ns()
+            bt, bp = build_rows(text_codes, T), build_rows(query_codes, P)
+            text_np = np.concatenate(
+                [bt(c0, min(c0 + 4096, B)) for c0 in range(0, B, 4096)])
+            pattern_np = np.concatenate(
+                [bp(c0, min(c0 + 4096, B)) for c0 in range(0, B, 4096)])
+            stats.prep_ns += time.perf_counter_ns() - tp0
             sh2 = mesh_mod.pair_sharding(mesh, 0, 2)
             sh1 = mesh_mod.pair_sharding(mesh, 0, 1)
-            shardings = (sh2, sh1, sh2, sh1)
-        args = _device_put_synced(*np_args, shardings=shardings)
+            t_d, tl_d, p_d, pl_d = _device_put_synced(
+                text_np, tlen, pattern_np, plen,
+                shardings=(sh2, sh1, sh2, sh1), stats=stats)
+            args = (t_d, tl_d, p_d, pl_d)
         tns = time.perf_counter_ns()
         if engine == "pallas":
             if mesh is not None:
@@ -450,6 +575,7 @@ def align_reads(
     n_dev = int(mesh.devices.size) if mesh is not None else 1
     engine, sk, kw = _resolve_backend(cfg, cfg.batch_tile, n_dev)
 
+    tp0 = time.perf_counter_ns()
     genome_codes = encode_np(reference.content)
     glen = len(genome_codes)
     # pad to a linear bucket so XLA traces once per bucket, not per genome
@@ -476,9 +602,13 @@ def align_reads(
         genome_padded = (np.pad(genome_codes, (0, gpad - glen))
                          if gpad != glen else genome_codes)
         genome_dev = jnp.asarray(genome_padded)
-    query_codes = [encode_np(read.content) for _, read in pairs]
+    stats.prep_ns += time.perf_counter_ns() - tp0
+    # reads are encoded lazily inside the chunked tile upload (the encode
+    # then runs under the previous chunk's h2d transfer); length-sorting
+    # needs only the lengths
+    qlens = [len(read.content) for _, read in pairs]
 
-    order = sorted(range(len(pairs)), key=lambda i: -len(query_codes[i]))
+    order = sorted(range(len(pairs)), key=lambda i: -qlens[i])
     results: List[Optional[Alignment]] = [None] * len(pairs)
     retry_items: List[tuple] = []
 
@@ -493,16 +623,16 @@ def align_reads(
     for t0 in range(0, len(order), tile_size):
         idxs = order[t0 : t0 + tile_size]
         B = tile_size
-        longest = max((len(query_codes[i]) for i in idxs), default=1) or 1
+        longest = max((qlens[i] for i in idxs), default=1) or 1
         P = _bucket_lin(longest, 1024)
         maxw = -(-cfg.max_windows(longest) // 32) * 32
         # usable text per lane is bounded by total possible consumption;
         # pre-clamping keeps window arithmetic in int32 even for huge genomes
         text_bound = maxw * cfg.tb_limit + cfg.W
 
+        tp0 = time.perf_counter_ns()
         starts = np.zeros(B, np.uint32)
         tlen = np.zeros(B, np.int32)
-        pattern = np.zeros((B, P), np.uint8)
         plen = np.zeros(B, np.int32)
         starts_l = np.fromiter((pairs[i][0] for i in idxs), np.int64,
                                len(idxs))
@@ -512,20 +642,36 @@ def align_reads(
         starts[: len(idxs)] = starts_l.astype(np.uint32)
         tlen[: len(idxs)] = np.minimum(glen - starts_l,
                                        text_bound).astype(np.int32)
-        plen[: len(idxs)] = _fill_rows(pattern,
-                                       [query_codes[i] for i in idxs])
+        plen[: len(idxs)] = np.fromiter((qlens[i] for i in idxs), np.int32,
+                                        len(idxs))
+        stats.prep_ns += time.perf_counter_ns() - tp0
 
-        np_args = ((starts, tlen, engine_pallas.pack_2bit_host(pattern),
-                    plen) if engine == "pallas"
-                   else (starts, tlen, pattern, plen))
-        shardings = None
-        if mesh is not None:
+        def build_pattern_rows(c0, c1, idxs=idxs, P=P):
+            rows = np.zeros((c1 - c0, P), np.uint8)
+            for r, i in enumerate(idxs[c0:c1]):
+                q = encode_np(pairs[i][1].content)
+                rows[r, : len(q)] = q
+            return (engine_pallas.pack_2bit_host(rows)
+                    if engine == "pallas" else rows)
+
+        if mesh is None:
+            pattern_dev = _upload_rows_chunked(stats, B, build_pattern_rows)
+            small = _device_put_synced(starts, tlen, plen, stats=stats)
+            args = (small[0], small[1], pattern_dev, small[2])
+        else:
             from .parallel import mesh as mesh_mod
 
+            tp0 = time.perf_counter_ns()
+            pattern_np = np.concatenate(
+                [build_pattern_rows(c0, min(c0 + 4096, B))
+                 for c0 in range(0, B, 4096)], axis=0)
+            stats.prep_ns += time.perf_counter_ns() - tp0
             sh2 = mesh_mod.pair_sharding(mesh, 0, 2)
             sh1 = mesh_mod.pair_sharding(mesh, 0, 1)
-            shardings = (sh1, sh1, sh2, sh1)
-        args = _device_put_synced(*np_args, shardings=shardings)
+            st_d, tl_d, pat_d, pl_d = _device_put_synced(
+                starts, tlen, pattern_np, plen,
+                shardings=(sh1, sh1, sh2, sh1), stats=stats)
+            args = (st_d, tl_d, pat_d, pl_d)
         tns = time.perf_counter_ns()
         if engine == "pallas":
             if mesh is not None:
@@ -551,7 +697,7 @@ def align_reads(
                     start = pairs[i][0]
                     end = min(glen, start + int(tlen[lane]))
                     retry_items.append((i, genome_codes[start:end],
-                                        query_codes[i]))
+                                        encode_np(pairs[i][1].content)))
                 else:
                     results[i] = Alignment(cigar=cigars[lane],
                                            edit_distance=int(eds[lane]))

@@ -64,6 +64,7 @@ from .engine_xla import (
     OP_I,
     OP_NONE,
     OP_X,
+    cumsum_log,
 )
 
 LANE = 128
@@ -1005,6 +1006,38 @@ def align_batch_mapped(cfg: AlignConfig, max_windows: int, sk: int, kw: int,
                        text_len, pattern_t, pattern_len)
 
 
+def _pack_rows_dense(entries):
+    """Stable-compact each window's valid (nonzero) sparse rows into a
+    dense prefix along the row axis.
+
+    entries: (MAXW, NE3, B) uint16, empty slots 0. A valid row at position
+    r with j-1 valid rows above it must shift down by d = r+1 - vcum[r],
+    and d is non-decreasing in r — so a log-depth sequence of
+    conditional power-of-two down-shifts (move iff bit k of the remaining
+    distance is set, LSB first) routes every row to its target without
+    collisions (validated against a scalar oracle over random patterns in
+    tests/test_engine_pallas.py). ~2 log2(NE3) elementwise passes over the
+    run store; replaces a per-output-element binary search whose sub-word
+    gathers were ~100x slower than this on TPU."""
+    maxw, ne3, b = entries.shape
+    valid = entries != 0
+    vcum = cumsum_log(valid.astype(jnp.uint8), axis=1)
+    riota = jnp.arange(1, ne3 + 1, dtype=jnp.uint8)[None, :, None]
+    dist = jnp.where(valid, riota - vcum, jnp.uint8(0))
+    ent = entries
+    k = 1
+    while k < ne3:
+        src_e = jnp.pad(ent, ((0, 0), (0, k), (0, 0)))[:, k:, :]
+        src_d = jnp.pad(dist, ((0, 0), (0, k), (0, 0)))[:, k:, :]
+        take = (src_d & jnp.uint8(k)) != 0
+        ent = jnp.where(take, src_e, ent)
+        dist = jnp.where(take, src_d - jnp.uint8(k), dist)
+        k *= 2
+    # rows >= the window's run count may hold stale copies of rows that
+    # shifted down; they are never addressed (e < count), left as-is
+    return ent
+
+
 @functools.partial(jax.jit, static_argnums=(2,))
 def compact_entries_sparse(entries, counts, cap: int):
     """engine_xla.compact_entries for the Pallas engine's SPARSE rows.
@@ -1014,56 +1047,21 @@ def compact_entries_sparse(entries, counts, cap: int):
     runs in order; counts: (MAXW, B) int32 runs per window. Output slot g
     of lane b holds the g-th run of that pair; slots >= total are 0.
 
-    Two-level search: the window by a binary search over the per-window
-    count prefix sums (as compact_entries), then the run's ROW inside the
-    window by a binary search over a per-window validity prefix sum. The
-    row prefix is built with log-depth pad-shift adds — XLA lowers
-    jnp.cumsum along a short axis to an O(L)-pass reduce-window on TPU,
-    which measured ~30x slower. Row lookups are flat jnp.take (fast path;
-    take_along_axis on wide operands is far slower, see
-    engine_xla.compact_entries notes).
-    """
+    Packs each window's sparse rows into a dense prefix (log-shift
+    compaction, _pack_rows_dense), then reuses the dense-row fast path:
+    log-depth count prefix, flat-int32-take binary search for the window,
+    and a word-packed run gather (engine_xla.cumsum_log /
+    _searchsorted_windows / _gather_runs — see there for the three TPU
+    cliffs these avoid; the previous per-element row binary search over
+    this store measured ~11 s/batch at the headline benchmark shape)."""
+    from .engine_xla import _gather_runs, _searchsorted_windows
+
     maxw, ne3, b = entries.shape
-    # uint8 prefix (values <= ne3 < 256): this buffer spans the whole
-    # sparse run store, so width dominates the HBM high-water mark
-    valid = (entries != 0).astype(jnp.uint8)
-    vcum = valid
-    sh = 1
-    while sh < ne3:
-        vcum = vcum + jnp.pad(vcum, ((0, 0), (sh, 0), (0, 0)))[:, :ne3, :]
-        sh *= 2
-
-    cum = jnp.cumsum(counts, axis=0)  # inclusive, (MAXW, B)
+    dense = _pack_rows_dense(entries)
+    cum = cumsum_log(counts)  # inclusive, (MAXW, B)
     totals = cum[-1]
-    g = jnp.arange(cap, dtype=jnp.int32)[:, None]  # (cap, 1)
-    lane_iota = jnp.arange(b, dtype=jnp.int32)[None, :]
-    lo = jnp.zeros((cap, b), jnp.int32)
-    hi = jnp.full((cap, b), maxw, jnp.int32)
-    for _ in range(max(1, maxw.bit_length())):
-        mid = (lo + hi) >> 1
-        cmid = jnp.take_along_axis(cum, jnp.minimum(mid, maxw - 1), axis=0)
-        go_right = cmid <= g
-        lo = jnp.where(go_right, mid + 1, lo)
-        hi = jnp.where(go_right, hi, mid)
-    w = jnp.minimum(lo, maxw - 1)
-    prev = jnp.where(w > 0,
-                     jnp.take_along_axis(cum, jnp.maximum(w - 1, 0), axis=0),
-                     0)
-    e = g - prev  # 0-based run index within window w
-    vflat = vcum.reshape(-1)
-    lo2 = jnp.zeros((cap, b), jnp.int32)
-    hi2 = jnp.full((cap, b), ne3, jnp.int32)
-    for _ in range(max(1, ne3.bit_length())):
-        mid = (lo2 + hi2) >> 1
-        idxf = (w * ne3 + jnp.minimum(mid, ne3 - 1)) * b + lane_iota
-        cmid = jnp.take(vflat, idxf)
-        go_right = cmid <= e
-        lo2 = jnp.where(go_right, mid + 1, lo2)
-        hi2 = jnp.where(go_right, hi2, mid)
-    r = jnp.minimum(lo2, ne3 - 1)
-
-    src = (w * ne3 + r) * b + lane_iota
-    out = jnp.take(entries.reshape(-1), src)
+    w, e, g, lane = _searchsorted_windows(cum, cap)
+    out = _gather_runs(dense, w, jnp.clip(e, 0, ne3 - 1), lane)
     valid_g = g < totals[None, :]
     return jnp.where(valid_g, out, 0).astype(jnp.uint16), totals
 

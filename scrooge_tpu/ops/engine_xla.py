@@ -409,6 +409,66 @@ def align_batch_mapped(cfg: AlignConfig, max_windows: int,
                        text_len, pattern, pattern_len)
 
 
+def cumsum_log(x, axis: int = 0):
+    """Inclusive prefix sum via log-depth pad-shift adds.
+
+    jnp.cumsum lowers to an O(L)-pass reduce-window on TPU; at the window
+    counts' (MAXW, B) shape that is ~MAXW sequential passes over the whole
+    array. log2(MAXW) shifted adds do the same work in ~9 passes."""
+    n = x.shape[axis]
+    sh = 1
+    while sh < n:
+        pad = [(0, 0)] * x.ndim
+        pad[axis] = (sh, 0)
+        x = x + jax.lax.slice_in_dim(jnp.pad(x, pad), 0, n, axis=axis)
+        sh *= 2
+    return x
+
+
+def _searchsorted_windows(cum, cap: int):
+    """Per-lane searchsorted-right of g in cum[:, lane] for g < cap.
+
+    cum: (MAXW, B) int32 inclusive prefix of per-window run counts.
+    Returns (w, e, g, lane_iota): window index and within-window run index
+    of global run g. All gathers are 32-bit flat jnp.take — sub-word
+    (u8/u16) gathers and take_along_axis on this shape both hit slow
+    paths on TPU."""
+    maxw, b = cum.shape
+    cum_flat = cum.reshape(-1)
+    g = jnp.arange(cap, dtype=jnp.int32)[:, None]  # (cap, 1)
+    lane = jnp.arange(b, dtype=jnp.int32)[None, :]
+    lo = jnp.zeros((cap, b), jnp.int32)
+    hi = jnp.full((cap, b), maxw, jnp.int32)
+    for _ in range(max(1, maxw.bit_length())):
+        mid = (lo + hi) >> 1
+        cmid = jnp.take(cum_flat, jnp.minimum(mid, maxw - 1) * b + lane)
+        go_right = cmid <= g
+        lo = jnp.where(go_right, mid + 1, lo)
+        hi = jnp.where(go_right, hi, mid)
+    w = jnp.minimum(lo, maxw - 1)
+    prev = jnp.where(w > 0, jnp.take(cum_flat, jnp.maximum(w - 1, 0) * b
+                                     + lane), 0)
+    return w, g - prev, g, lane
+
+
+def _gather_runs(entries_dense, w, e, lane):
+    """entries_dense: (MAXW, NE, B) uint16 with each window's runs in a
+    dense prefix of its NE rows; returns run e of window w per lane as
+    int32. Row PAIRS are packed into one uint32 word first so the data
+    gather moves words, not uint16s (sub-word gathers cost ~16x more per
+    element on TPU)."""
+    maxw, ne, b = entries_dense.shape
+    if ne % 2:
+        entries_dense = jnp.pad(entries_dense, ((0, 0), (0, 1), (0, 0)))
+        ne += 1
+    half = ne // 2
+    lo16 = entries_dense[:, 0::2, :].astype(jnp.int32)
+    hi16 = entries_dense[:, 1::2, :].astype(jnp.int32)
+    packed = (lo16 | (hi16 << 16)).reshape(-1)
+    word = jnp.take(packed, (w * half + (e >> 1)) * b + lane)
+    return (word >> ((e & 1) << 4)) & 0xFFFF
+
+
 @functools.partial(jax.jit, static_argnums=(2,))
 def compact_entries(entries, counts, cap: int):
     """Concatenate each lane's valid per-window runs into (cap, B).
@@ -416,35 +476,19 @@ def compact_entries(entries, counts, cap: int):
     entries: (MAXW, NE, B) uint16, counts: (MAXW, B) int32. Output slot g of
     lane b holds the g-th CIGAR run of that pair; slots >= total are 0.
 
-    Implementation note: a lane-last binary search over the window-count
-    prefix sums (log2(MAXW) take_along_axis rounds) instead of a vmapped
-    searchsorted — the vmap form forces a lane-major transpose of the whole
-    entries buffer, which dominates everything else. Compacting on device
-    also shrinks the device->host readback ~30x (the run buffer is
-    worst-case sized; actual runs are few).
-    """
+    Implementation notes: a lane-last binary search over the window-count
+    prefix sums instead of a vmapped searchsorted — the vmap form forces a
+    lane-major transpose of the whole entries buffer. All hot ops avoid
+    three measured TPU cliffs: jnp.cumsum's O(MAXW)-pass lowering,
+    take_along_axis on (cap, B), and sub-32-bit gathers (see cumsum_log /
+    _searchsorted_windows / _gather_runs). Compacting on device also
+    shrinks the device->host readback ~30x (the run buffer is worst-case
+    sized; actual runs are few)."""
     maxw, ne, b = entries.shape
-    cum = jnp.cumsum(counts, axis=0)  # inclusive, (MAXW, B)
+    cum = cumsum_log(counts)  # inclusive, (MAXW, B)
     totals = cum[-1]
-
-    g = jnp.arange(cap, dtype=jnp.int32)[:, None]  # (cap, 1)
-    # w = searchsorted(cum[:, b], g, side="right") per lane
-    lo = jnp.zeros((cap, b), jnp.int32)
-    hi = jnp.full((cap, b), maxw, jnp.int32)
-    steps = max(1, maxw.bit_length())
-    for _ in range(steps):
-        mid = (lo + hi) >> 1
-        cmid = jnp.take_along_axis(cum, jnp.minimum(mid, maxw - 1), axis=0)
-        go_right = cmid <= g
-        lo = jnp.where(go_right, mid + 1, lo)
-        hi = jnp.where(go_right, hi, mid)
-    w = jnp.minimum(lo, maxw - 1)
-    prev = jnp.where(w > 0,
-                     jnp.take_along_axis(cum, jnp.maximum(w - 1, 0), axis=0),
-                     0)
-    e = g - prev
-    src = w * ne + jnp.clip(e, 0, ne - 1)
-    out = jnp.take_along_axis(entries.reshape(maxw * ne, b), src, axis=0)
+    w, e, g, lane = _searchsorted_windows(cum, cap)
+    out = _gather_runs(entries, w, jnp.clip(e, 0, ne - 1), lane)
     valid = g < totals[None, :]
     return jnp.where(valid, out, 0).astype(jnp.uint16), totals
 

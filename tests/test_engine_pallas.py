@@ -8,6 +8,7 @@ same outputs, slower, so the cases here stay small.
 
 import random
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -206,3 +207,27 @@ def test_pallas_vmem_fallback_resolution():
         assert sk > 0, wko
     with pytest.raises(ValueError, match="does not fit VMEM"):
         _resolve_backend(_AC(W=256, K=256, O=129, backend="pallas"), 1024)
+
+
+def test_pack_rows_dense_matches_oracle():
+    """Log-shift row compaction (engine_pallas._pack_rows_dense) must
+    stable-compact every window's nonzero rows to a dense prefix; checked
+    against a scalar numpy oracle over random sparsity patterns, including
+    the all-valid and all-empty extremes."""
+    rng = np.random.default_rng(21)
+    for ne3 in (1, 2, 5, 17, 66):
+        maxw, b = 7, 16
+        density = rng.uniform(0, 1, (maxw, 1, b))
+        ents = np.where(rng.uniform(size=(maxw, ne3, b)) < density,
+                        rng.integers(1, 1 << 16, (maxw, ne3, b)),
+                        0).astype(np.uint16)
+        ents[0, :, 0] = 0          # all-empty window
+        if ne3 > 2:
+            ents[1, :, 1] = 7      # all-valid window
+        got = np.asarray(engine_pallas._pack_rows_dense(jnp.asarray(ents)))
+        for w in range(maxw):
+            for lane in range(b):
+                col = ents[w, :, lane]
+                want = col[col != 0]
+                assert np.array_equal(got[w, : len(want), lane], want), (
+                    ne3, w, lane)
