@@ -13,6 +13,12 @@ framework's CSV schemas (profiling/sweep.py, profiling/model.py):
                 from A6000/Xeon to the v5e VPU)
   asic        — area/power vs O for the four SENE/DENT layouts
                 (plot.py:2611-2723 family, from model.py sweep output)
+  groundtruth — fraction of ground-truth (MAF) matched bases aligned
+                correctly vs W (plot.py:2724-2952 family)
+  baselines   — aligns/s bars, device engine vs first-party baselines
+                (plot.py baseline-comparison family)
+  representative — representative-config (W=64+ET) summary against the
+                baselines + the engine's W scaling (plot.py:1272-1331)
 
 All figures are optional conveniences: matplotlib is imported lazily so
 the core library never depends on it.
@@ -162,13 +168,129 @@ def plot_asic(csv_path: str, out: str):
     print(f"wrote {out}")
 
 
+def plot_groundtruth(csv_path: str, out: str):
+    """Ground-truth accuracy family (plot.py:2724-2952): the fraction of
+    PBSIM2-MAF matched bases each CIGAR reproduces, vs the window size W.
+    Mean curve with a 5th-95th percentile band over pairs."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    rows = _read_csv(csv_path)
+    by_w: Dict[int, List[float]] = defaultdict(list)
+    for r in rows:
+        by_w[int(float(r["W"]))].append(float(r["correct_fraction"]))
+    ws = sorted(by_w)
+
+    def pct(v, p):
+        v = sorted(v)
+        return v[min(len(v) - 1, int(p * len(v)))]
+
+    means = [sum(by_w[w]) / len(by_w[w]) for w in ws]
+    lo = [pct(by_w[w], 0.05) for w in ws]
+    hi = [pct(by_w[w], 0.95) for w in ws]
+    fig, ax = plt.subplots(figsize=(6, 4))
+    ax.fill_between(ws, lo, hi, alpha=0.2, label="5th-95th pct")
+    ax.plot(ws, means, marker="o", label="mean")
+    ax.set_xlabel("W")
+    ax.set_ylabel("fraction of ground-truth bases aligned correctly")
+    ax.set_title("Accuracy vs ground truth")
+    ax.set_ylim(min(lo + [0.9]), 1.001)
+    ax.legend()
+    ax.grid(alpha=0.3)
+    fig.tight_layout()
+    fig.savefig(out, dpi=150)
+    print(f"wrote {out}")
+
+
+def plot_baselines(csv_path: str, out: str):
+    """Baseline-comparison family (plot.py:1272-1331 bar semantics):
+    aligns/second of the device engine vs the first-party baseline
+    aligners on one dataset (log scale — the gaps span orders of
+    magnitude, as in the reference's CPU/GPU baseline bars)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    rows = _read_csv(csv_path)
+    algs = [r["algorithm"] for r in rows]
+    vals = [float(r["aligns/second"]) for r in rows]
+    fig, ax = plt.subplots(figsize=(6, 4))
+    bars = ax.bar(algs, vals,
+                  color=["C0" if a.startswith("genasm") else "C1"
+                         for a in algs])
+    for b, v in zip(bars, vals):
+        ax.annotate(f"{v:,.0f}", (b.get_x() + b.get_width() / 2, v),
+                    ha="center", va="bottom", fontsize=7)
+    ax.set_yscale("log")
+    ax.set_ylabel("aligns/second")
+    ax.set_title("Throughput vs baseline aligners")
+    ax.grid(alpha=0.3, axis="y")
+    plt.setp(ax.get_xticklabels(), rotation=20, ha="right")
+    fig.tight_layout()
+    fig.savefig(out, dpi=150)
+    print(f"wrote {out}")
+
+
+def plot_representative(wo_csv: str, baselines_csv: str, out: str,
+                        rep_w: int = 64):
+    """Representative-config summary (plot.py:1272-1331): one panel with
+    the device engine at the representative config (W=64, ET on — the
+    Scrooge-GPU representative selection) against every baseline, one
+    with the device engine's own W scaling around it."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    wo = _read_csv(wo_csv)
+    base = _read_csv(baselines_csv)
+    dev_by_w: Dict[int, float] = {}
+    for r in wo:
+        if _bool(r["early termination"]):
+            w = int(float(r["W"]))
+            dev_by_w[w] = max(dev_by_w.get(w, 0.0),
+                              float(r["aligns/second"]))
+    rep = dev_by_w.get(rep_w) or (max(dev_by_w.values()) if dev_by_w else 0)
+
+    fig, axes = plt.subplots(1, 2, figsize=(10, 4))
+    algs = [r["algorithm"] for r in base if r["algorithm"] != "genasm_device"]
+    vals = [float(r["aligns/second"]) for r in base
+            if r["algorithm"] != "genasm_device"]
+    axes[0].bar(algs + [f"device W={rep_w}"], vals + [rep],
+                color=["C1"] * len(algs) + ["C0"])
+    axes[0].set_yscale("log")
+    axes[0].set_ylabel("aligns/second")
+    axes[0].set_title("Representative config vs baselines")
+    plt.setp(axes[0].get_xticklabels(), rotation=20, ha="right")
+    ws = sorted(dev_by_w)
+    axes[1].plot(ws, [dev_by_w[w] for w in ws], marker="o")
+    if rep_w in dev_by_w:
+        axes[1].plot([rep_w], [dev_by_w[rep_w]], "r*", ms=14,
+                     label=f"representative W={rep_w}")
+        axes[1].legend()
+    axes[1].set_xlabel("W")
+    axes[1].set_ylabel("aligns/second")
+    axes[1].set_title("Device engine W scaling")
+    for ax in axes:
+        ax.grid(alpha=0.3, axis="y")
+    fig.tight_layout()
+    fig.savefig(out, dpi=150)
+    print(f"wrote {out}")
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     p.add_argument("kind",
-                   choices=["throughput", "accuracy", "roofline", "asic"])
+                   choices=["throughput", "accuracy", "roofline", "asic",
+                            "groundtruth", "baselines", "representative"])
     p.add_argument("--csv", required=True,
                    help="input CSV (device CSV for accuracy)")
     p.add_argument("--exact_csv", help="exact-baseline CSV (accuracy only)")
+    p.add_argument("--baselines_csv",
+                   help="baselines CSV (representative only)")
     p.add_argument("--out", default="figure.png")
     p.add_argument("--x", default="W", help="x axis column (throughput)")
     args = p.parse_args(argv)
@@ -181,6 +303,14 @@ def main(argv=None) -> int:
         plot_accuracy(args.csv, args.exact_csv, args.out)
     elif args.kind == "roofline":
         plot_roofline(args.csv, args.out)
+    elif args.kind == "groundtruth":
+        plot_groundtruth(args.csv, args.out)
+    elif args.kind == "baselines":
+        plot_baselines(args.csv, args.out)
+    elif args.kind == "representative":
+        if not args.baselines_csv:
+            p.error("--baselines_csv required for representative plots")
+        plot_representative(args.csv, args.baselines_csv, args.out)
     else:
         plot_asic(args.csv, args.out)
     return 0

@@ -49,7 +49,7 @@ def csv_write(path, rows, header):
         w.writerows(rows)
 
 
-def _load(dataset: str, datasets_dir: Path):
+def _load(dataset: str, datasets_dir: Path, with_truth: bool = False):
     if dataset.startswith("simulated"):
         from ..utils.simulate import simulate_dataset
 
@@ -57,11 +57,23 @@ def _load(dataset: str, datasets_dir: Path):
         num = int(parts[1]) if len(parts) > 1 else 512
         rlen = int(parts[2]) if len(parts) > 2 else 10_000
         ds = simulate_dataset(genome_len=1_000_000, num_reads=num,
-                              read_len=rlen, accuracy=0.95, seed=11)
-        return ds.genome, ds.reads
+                              read_len=rlen, accuracy=0.95, seed=11,
+                              with_truth=with_truth)
+        return ((ds.genome, ds.reads, ds.truth) if with_truth
+                else (ds.genome, ds.reads))
     from .. import io as sio
 
-    return sio.load_dataset(datasets_dir / dataset)
+    genome, reads = sio.load_dataset(datasets_dir / dataset)
+    if not with_truth:
+        return genome, reads
+    from ..tools.cigar_tools import maf_truth_rows
+
+    maf = datasets_dir / dataset / "candidates.maf"
+    if not maf.exists():
+        raise FileNotFoundError(
+            "groundtruth accuracy needs a gapped candidates.maf "
+            f"(none in {datasets_dir / dataset})")
+    return genome, reads, maf_truth_rows(str(maf))
 
 
 def _run_throughput(genome, reads, cfg: AlignConfig, data: List,
@@ -235,6 +247,82 @@ def accuracy_sweep(genome, reads, out: Path, max_experiments: int,
     csv_write(out, data, header)
 
 
+def sweep_baselines(genome, reads, out: Path, batch: int,
+                    baseline_pairs: int = 32, algorithms=None):
+    """Throughput of every first-party algorithm on one dataset — the
+    reference's cpu_baselines sweep (profile.py:250-313, CSV consumed by
+    the baseline-comparison figure). The scalar-DP baselines run on a
+    subset of ``baseline_pairs`` reads (they are O(n*m) per pair; the
+    reference's vendored C baselines have the same role but native
+    speed), the device engines on the full read set; aligns/second is
+    per-pair normalized either way."""
+    from ..cli.baseline_cli import _align_with
+
+    algorithms = algorithms or ["genasm_device", "genasm_xla", "exact",
+                                "affine", "banded"]
+    few = list(reads)[: baseline_pairs]
+    data: List = []
+    for alg in algorithms:
+        subset = few if alg in ("exact", "affine", "banded",
+                                "genasm_pyref") else reads
+        print(f"[{datetime.now()}] baselines {alg} ({len(subset)} reads)",
+              file=sys.stderr)
+        try:
+            _align_with(alg, genome, subset[: min(len(subset), batch)],
+                        batch)  # warmup: jit outside the timed run
+            _, aps = _align_with(alg, genome, subset, batch)
+        except Exception as e:
+            print(f"{alg} failed ({e})", file=sys.stderr)
+            continue
+        data.append([alg, batch, len(subset), aps])
+    csv_write(out, data, ["algorithm", "threads", "pairs", "aligns/second"])
+
+
+def groundtruth_accuracy(genome, reads, truth, out: Path,
+                         max_experiments: int, backend: str, batch: int,
+                         max_W: int = 128, Os=None):
+    """Fraction of ground-truth matched bases each CIGAR aligns
+    identically, swept over W (and optionally O) — the
+    accuracy-vs-groundtruth evaluation of profile.py:446-645 /
+    plot.py:2724-2952, with the PBSIM2 MAF rows supplied by the built-in
+    simulator (utils.simulate with_truth) or a gapped candidates.maf.
+
+    CSV rows: W, O, pair_idx, score, correct_fraction."""
+    from ..tools.cigar_tools import correctly_aligned_fraction
+
+    scoring = dict(match=2, mismatch=4, gap_open=4, gap_extend=2)
+    gran = max(16, max_W // max(1, max_experiments))
+    Ws = list(range(gran, max_W + 1, gran))
+    data: List = []
+    for idx, W in enumerate(Ws):
+        os_list = Os or [min(W // 2 + 1, W - 1)]
+        for O in os_list:
+            if not 0 <= O < W:
+                continue
+            print(f"[{datetime.now()}] groundtruth {idx}/{len(Ws)} "
+                  f"W={W} O={O}", file=sys.stderr)
+            cfg = AlignConfig(W=W, K=W, O=O, backend=backend,
+                              batch_tile=batch)
+            try:
+                alns = api.align_reads(genome, reads, cfg)
+            except Exception as e:
+                print(f"config failed ({e})", file=sys.stderr)
+                continue
+            pair_idx = 0
+            for ri, read in enumerate(reads):
+                ref_row, read_row = truth[ri]
+                for _ in read.locations:
+                    a = alns[pair_idx]
+                    frac = correctly_aligned_fraction(a.cigar, ref_row,
+                                                      read_row)
+                    data.append([W, O, pair_idx,
+                                 affine_score(a.cigar, **scoring),
+                                 round(frac, 6)])
+                    pair_idx += 1
+    csv_write(out, data, ["W", "O", "pair_idx", "score",
+                          "correct_fraction"])
+
+
 def exact_accuracy(genome, reads, out: Path, cigar: bool):
     """Exact-aligner per-pair scores — the baseline column of the accuracy
     comparison (the reference's edlib rows)."""
@@ -257,7 +345,9 @@ def exact_accuracy(genome, reads, out: Path, cigar: bool):
 def main(argv: Optional[List[str]] = None) -> int:
     p = argparse.ArgumentParser(
         description="Sweep device/XLA throughput or accuracy over configs")
-    p.add_argument("target", choices=["device", "xla", "accuracy"])
+    p.add_argument("target",
+                   choices=["device", "xla", "accuracy", "groundtruth",
+                            "baselines"])
     p.add_argument("dataset", type=str,
                    help="datasets_dir subdirectory or 'simulated[:N[:len]]'")
     p.add_argument("--datasets_dir", type=Path, default=Path("datasets"))
@@ -267,16 +357,29 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--override_W", type=int, default=None)
     p.add_argument("--max_W", type=int, default=256)
     p.add_argument("--batch_tile", type=int, default=2048)
+    p.add_argument("--baseline_pairs", type=int, default=32)
     p.add_argument("--cigar", action="store_true")
     args = p.parse_args(argv)
 
-    genome, reads = _load(args.dataset, args.datasets_dir)
+    if args.target == "groundtruth":
+        genome, reads, truth = _load(args.dataset, args.datasets_dir,
+                                     with_truth=True)
+    else:
+        genome, reads = _load(args.dataset, args.datasets_dir)
     name = args.dataset.replace(":", "_")
     out = args.profile_dir
     backend = "auto" if args.target == "device" else "xla"
     W = args.override_W or 64
 
-    if args.target in ("device", "xla"):
+    if args.target == "groundtruth":
+        groundtruth_accuracy(genome, reads, truth,
+                             out / f"{name}_groundtruth_accuracy.csv",
+                             args.max_experiments, "auto", args.batch_tile,
+                             args.max_W)
+    elif args.target == "baselines":
+        sweep_baselines(genome, reads, out / f"{name}_baselines.csv",
+                        args.batch_tile, args.baseline_pairs)
+    elif args.target in ("device", "xla"):
         tag = args.target
         sweep_wo(genome, reads, backend, out / f"{name}_{tag}_sweep_WO.csv",
                  args.max_experiments, args.repetitions, args.batch_tile,

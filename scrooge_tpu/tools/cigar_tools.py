@@ -123,13 +123,10 @@ def inspect(csv_path: str, count: int, out: str):
     print(f"wrote {out}")
 
 
-def analyze(csv_path: str, maf_path: str):
-    """Print per-pair and mean correctly-aligned-base fractions against
-    MAF ground truth."""
-    from ..io import read_maf  # noqa: F401  (validates format early)
-
-    # parse the MAF blocks' gapped rows (read description order matches
-    # candidate order, which matches pair order after the join)
+def maf_truth_rows(maf_path: str) -> List[Tuple[str, str]]:
+    """The gapped (ref_row, read_row) pairs of each MAF block, in order
+    (read description order matches candidate order, which matches pair
+    order after the join)."""
     blocks = []
     with open(maf_path) as f:
         lines = f.read().splitlines()
@@ -148,7 +145,15 @@ def analyze(csv_path: str, maf_path: str):
                 blocks.append((rows["ref"], read_row))
         else:
             i += 1
+    return blocks
 
+
+def analyze(csv_path: str, maf_path: str):
+    """Print per-pair and mean correctly-aligned-base fractions against
+    MAF ground truth."""
+    from ..io import read_maf  # noqa: F401  (validates format early)
+
+    blocks = maf_truth_rows(maf_path)
     rows = _read_accuracy_csv(csv_path)
     fractions = []
     for r in rows:

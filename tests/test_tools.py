@@ -95,3 +95,34 @@ def test_asic_latency_model():
     assert single_window_latency(64, 33, 64) == 160
     # 32 PEs: two blocks
     assert single_window_latency(64, 33, 32) == (129 * 2) + 31
+
+
+def test_simulated_truth_and_dataset_roundtrip(tmp_path):
+    """with_truth must not perturb the RNG stream, its gapped rows must
+    reproduce the read and the genome segment, and write_dataset must
+    materialize the reference's dataset-directory contract including a
+    gapped MAF that maf_truth_rows parses back verbatim."""
+    from scrooge_tpu.io import load_dataset
+    from scrooge_tpu.tools.cigar_tools import maf_truth_rows
+    from scrooge_tpu.utils.simulate import simulate_dataset, write_dataset
+
+    ds0 = simulate_dataset(genome_len=5000, num_reads=4, read_len=300,
+                           seed=5)
+    ds = simulate_dataset(genome_len=5000, num_reads=4, read_len=300,
+                          seed=5, with_truth=True)
+    assert [r.content for r in ds0.reads] == [r.content for r in ds.reads]
+    for i, read in enumerate(ds.reads):
+        ref_row, read_row = ds.truth[i]
+        assert read_row.replace("-", "") == read.content
+        st = read.locations[0].start_in_reference
+        ref_flat = ref_row.replace("-", "")
+        assert ds.genome.content[st : st + len(ref_flat)] == ref_flat
+
+    out = tmp_path / "sim_ds"
+    write_dataset(ds, out)
+    genome, reads = load_dataset(out)
+    assert genome.content == ds.genome.content
+    assert [r.content for r in reads] == [r.content for r in ds.reads]
+    assert [r.locations[0].start_in_reference for r in reads] == \
+        [r.locations[0].start_in_reference for r in ds.reads]
+    assert maf_truth_rows(str(out / "candidates.maf")) == ds.truth
