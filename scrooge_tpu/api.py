@@ -80,6 +80,13 @@ class AlignStats:
     readback_ns: int = 0      # blocking d2h transfer time (within postprocess)
     readback_bytes: int = 0
     format_ns: int = 0        # CIGAR stringification (within postprocess)
+    # failure-reason telemetry from the Pallas engine's per-lane reason
+    # bitmask (engine_pallas.FAIL_*) — the drift/dead-end counters the
+    # reference only exposes as DEBUG asserts (genasm_cpu.cpp:362-385)
+    fail_tb_pairs: int = 0         # d-search exceeded tb_cap
+    fail_stall_pairs: int = 0      # zero-progress window
+    fail_drift_pairs: int = 0      # slab drift beyond margin
+    fail_incomplete_pairs: int = 0  # slab loop ended early
 
     @property
     def aligns_per_second(self) -> float:
@@ -92,7 +99,25 @@ class AlignStats:
                 f"compact={f(self.compact_ns)} "
                 f"readback={f(self.readback_ns)}"
                 f"/{self.readback_bytes/1e6:.1f}MB "
-                f"format={f(self.format_ns)} retried={self.retried_pairs}")
+                f"format={f(self.format_ns)} retried={self.retried_pairs}"
+                + (f" fail[tb={self.fail_tb_pairs} "
+                   f"stall={self.fail_stall_pairs} "
+                   f"drift={self.fail_drift_pairs} "
+                   f"incomplete={self.fail_incomplete_pairs}]"
+                   if self.retried_pairs else ""))
+
+    def count_fail_reasons(self, failed_mask) -> None:
+        """Aggregate a Pallas per-lane reason bitmask into the counters
+        (no-op for boolean failure arrays from the XLA engine)."""
+        import numpy as np
+
+        m = np.asarray(failed_mask)
+        if m.dtype == np.bool_:
+            return
+        self.fail_tb_pairs += int((m & 1).astype(bool).sum())
+        self.fail_stall_pairs += int((m & 2).astype(bool).sum())
+        self.fail_drift_pairs += int((m & 4).astype(bool).sum())
+        self.fail_incomplete_pairs += int((m & 8).astype(bool).sum())
 
 
 def _bucket(n: int, minimum: int = 64) -> int:
@@ -337,6 +362,7 @@ def _build_alignments(cfg, tile_pairs, res, stats, eds_host=None,
 
     eds = np.asarray(res.edit_distance) if eds_host is None else eds_host
     failed = np.asarray(res.failed)
+    stats.count_fail_reasons(failed)
     return eds, cigars, failed
 
 

@@ -251,6 +251,22 @@ def performance_test(reference_file: str, reads_file: str, seeds_file: str,
                               read_len=rlen, accuracy=0.95, seed=13)
         genome, reads = ds.genome, ds.reads
     else:
+        import os
+
+        if (reference_file == "datasets/default/reference.fasta"
+                and not os.path.exists(reference_file)):
+            # default invocation with no downloaded data: materialize a
+            # simulated default dataset once (reference.fasta +
+            # reads.fastq + ground-truth candidates.maf) so the binary
+            # analogue runs as shipped (tests.cu's defaults assume the
+            # Zenodo datasets; this rig is air-gapped)
+            from ..utils.simulate import simulate_dataset, write_dataset
+
+            print("default dataset missing; simulating one under "
+                  "datasets/default (PBSIM2-style 1024x10kbp reads)",
+                  file=sys.stderr)
+            write_dataset(simulate_dataset(num_reads=1024, with_truth=True),
+                          "datasets/default")
         vlog("Reading reference sequence...")
         genome = sio.read_genome(reference_file)
         vlog("Reading reads files...")

@@ -102,6 +102,14 @@ def slab_words(cfg: AlignConfig, kw: int) -> int:
 # ~40% of kernel-path runtime.
 SLAB_MARGIN_WORDS = 8
 
+# Per-lane failure-reason bits carried in BatchResult.failed (int32).
+# The drift/dead-end telemetry analogue of the reference's DEBUG-gated
+# traceback checks (genasm_cpu.cpp:362-385); AlignStats aggregates them.
+FAIL_TB = 1          # window's d-search exceeded tb_cap (no traceback found)
+FAIL_STALL = 2       # window consumed no text and no pattern (would loop)
+FAIL_DRIFT = 4       # lane drifted past SLAB_MARGIN_WORDS of the slab base
+FAIL_INCOMPLETE = 8  # slab loop ended before the read was consumed
+
 
 def slab_io_words(cfg: AlignConfig, kw: int) -> int:
     """Words shipped to the kernel per lane per slab (span + drift
@@ -131,9 +139,11 @@ def kernel_vmem_bytes(cfg: AlignConfig, sk: int, kw: int = DEFAULT_KW) -> int:
     return r + ff + pmi + upat + pmc + ent + 2 * io
 
 
-# A 72MB-scratch kernel (W=128, sk=8, kw=4) compiles and runs on v5e;
-# leave margin for Mosaic temporaries above that empirical point.
-VMEM_BUDGET = 76 << 20
+# A 90MB-scratch kernel (W=256, sk=8, kw=8: 87.9MB model estimate)
+# compiles and runs on v5e (128MB physical VMEM); leave margin for Mosaic
+# temporaries above that empirical point. SCROOGE_VMEM_BUDGET (MB)
+# overrides for probing other parts.
+VMEM_BUDGET = int(os.environ.get("SCROOGE_VMEM_BUDGET", "92")) << 20
 
 
 def choose_kernel_shape(cfg: AlignConfig, S: int,
@@ -739,16 +749,21 @@ def _multi_window_kernel(cfg: AlignConfig, kw: int,
             i, j, edits_used, nfl = run_tb()
 
         # ---- carry update (genasm_cpu.cpp:432-435) ----
+        # failed is a per-lane reason BITMASK (FAIL_* constants): the
+        # in-kernel analogue of the reference's DEBUG dead-end traceback
+        # check (genasm_cpu.cpp:362-385) — instead of an assert, the
+        # cause is recorded and surfaced through AlignStats telemetry.
         active = done == 0
         window_failed = active & ~found
         stalled = active & found & (i == 0) & (j == 0)
-        new_failed = (failed != 0) | window_failed | stalled
-        take = active & ~new_failed
+        failed = (failed
+                  | jnp.where(window_failed, FAIL_TB, 0)
+                  | jnp.where(stalled, FAIL_STALL, 0))
+        take = active & ~window_failed & ~stalled
         ed = ed + jnp.where(take, edits_used, 0)
         ref_idx = ref_idx + jnp.where(take, i, 0)
         read_idx = read_idx + jnp.where(take, j, 0)
-        done = ((read_idx >= plen) | new_failed).astype(jnp.int32)
-        failed = new_failed.astype(jnp.int32)
+        done = ((read_idx >= plen) | (failed != 0)).astype(jnp.int32)
 
         entries_ref[k * NE3 : (k + 1) * NE3] = ent_ref[...]
         nfl_ref[k] = jnp.where(take, nfl, 0)
@@ -915,7 +930,7 @@ def _align_scan(cfg: AlignConfig, sk: int, kw: int, max_windows: int,
                                          act)
         bad = (bad_t | bad_p).reshape(lane)
         done = jnp.where(bad, 1, done)
-        failed = jnp.where(bad, 1, failed)
+        failed = failed | jnp.where(bad, FAIL_DRIFT, 0)
 
         (ref_idx, read_idx, ed, done, failed, entries_i, nfl
          ) = slab_step_kernel(
@@ -936,10 +951,12 @@ def _align_scan(cfg: AlignConfig, sk: int, kw: int, max_windows: int,
         loop_cond, loop_body, (jnp.int32(0), carry0, ents0, cnts0))
 
     _, read_idx, ed, done, failed = carry
-    failed = (failed != 0) | (read_idx < plen)
+    failed = failed | jnp.where((failed == 0) & (read_idx < plen),
+                                FAIL_INCOMPLETE, 0)
 
     return BatchResult(
         edit_distance=ed.reshape(B),
+        # int32 reason bitmask (FAIL_*); nonzero = lane needs retry
         failed=failed.reshape(B),
         # SPARSE rows (tb_rows wide): non-empty slots are complete maximal
         # runs in order; compact with compact_entries_sparse[_u8]

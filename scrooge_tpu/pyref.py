@@ -35,9 +35,22 @@ produce identical output by construction; tests assert it.
 
 from __future__ import annotations
 
+import os
 from typing import List, Optional, Tuple
 
 from .config import AlignConfig
+
+# SCROOGE_DEBUG=1 enables the reference's DEBUG-gated traceback dead-end
+# detection (genasm_cpu.cpp:307-385): every '=' fallback step must be
+# justified by a zero in the DP table (can_mat), otherwise the traceback
+# walked off every optimal path — a kernel/table bug, pinpointed here
+# instead of surfacing as a distant corpus mismatch.
+DEBUG = bool(int(os.environ.get("SCROOGE_DEBUG", "0") or "0"))
+
+
+class TracebackDeadEnd(AssertionError):
+    """Traceback reached a state not on any optimal path
+    (reference analogue: assert(false), genasm_cpu.cpp:362-385)."""
 
 # 2-bit base codes (genasm_cpu.cpp:87-90)
 BASE_A, BASE_C, BASE_G, BASE_T = 0, 1, 2, 3
@@ -231,19 +244,30 @@ def genasm_tb(
         i_limit = i >= n
         d_limit = d == 0
 
+        can_mat = True
         if j < m - 1:
             if sene:
                 can_ins = (not d_limit) and R.zero_at(i, d - 1, j + 1)
                 can_del = (not d_limit) and (not i_limit) and R.zero_at(i + 1, d - 1, j)
                 can_sub = (not d_limit) and (not i_limit) and R.zero_at(i + 1, d - 1, j + 1)
+                if DEBUG:  # genasm_cpu.cpp:325-326
+                    can_mat = (not i_limit) and R.zero_at(i + 1, d, j + 1)
             else:
                 can_ins = R.zero_at(i, d, j, EDGE_INS)
                 can_del = R.zero_at(i, d, j, EDGE_DEL)
                 can_sub = R.zero_at(i, d, j + 1, EDGE_DEL)
+                if DEBUG:  # genasm_cpu.cpp:332-333
+                    can_mat = R.zero_at(i, d, j, EDGE_MAT)
         else:
             can_ins = not d_limit
             can_del = False
             can_sub = (not d_limit) and (not i_limit)
+            if DEBUG:  # genasm_cpu.cpp:341-342
+                can_mat = d == 0
+
+        if DEBUG and not (can_ins or can_del or can_sub or can_mat):
+            raise TracebackDeadEnd(  # genasm_cpu.cpp:362-385
+                f"traceback dead end at i={i} j={j} d={d} n={n} m={m}")
 
         if can_ins:
             j += 1

@@ -196,17 +196,18 @@ def test_single_laggard_does_not_fail_batch():
 def test_pallas_vmem_fallback_resolution():
     from scrooge_tpu.api import _resolve_backend
 
-    big = _AC(W=256, K=256, O=129)
+    big = _AC(W=512, K=512, O=257)
     assert not engine_pallas.fits_vmem(big)
     engine, _, _ = _resolve_backend(big, 1024)
     assert engine == "xla"
-    # the tb_cap'd R scratch keeps W<=192 on the Pallas engine
-    for wko in [(128, 128, 65), (192, 192, 97)]:
+    # the tb_cap'd R scratch + 92MB validated budget keep W<=256 on the
+    # Pallas engine (the profile.py:65-82 W-sweep range, all fast-path)
+    for wko in [(128, 128, 65), (192, 192, 97), (256, 256, 129)]:
         cfg = _AC(W=wko[0], K=wko[1], O=wko[2])
         sk, kw = engine_pallas.choose_kernel_shape(cfg, 256)
         assert sk > 0, wko
     with pytest.raises(ValueError, match="does not fit VMEM"):
-        _resolve_backend(_AC(W=256, K=256, O=129, backend="pallas"), 1024)
+        _resolve_backend(_AC(W=512, K=512, O=257, backend="pallas"), 1024)
 
 
 def test_pack_rows_dense_matches_oracle():
@@ -231,3 +232,55 @@ def test_pack_rows_dense_matches_oracle():
                 want = col[col != 0]
                 assert np.array_equal(got[w, : len(want), lane], want), (
                     ne3, w, lane)
+
+
+def test_failure_reason_telemetry():
+    """The Pallas engine's failed lanes carry a reason BITMASK
+    (engine_pallas.FAIL_*) and AlignStats aggregates it — the telemetry
+    analogue of the reference's DEBUG traceback checks
+    (genasm_cpu.cpp:362-385). Garbage candidates overflow tb_cap, so the
+    tb-depth counter must account for the retries."""
+    import scrooge_tpu.api as api
+    from scrooge_tpu.datamodel import CandidateLocation, Genome, Read
+
+    rng = random.Random(43)
+    genome = "".join(rng.choice("ACGT") for _ in range(4000))
+    reads = []
+    for i in range(16):
+        start = rng.randint(0, 3000)
+        seg = genome[start : start + 160]
+        read = "".join(c for c in seg if rng.random() > 0.04)
+        loc = start if i % 2 == 0 else (start + 1700) % 3000
+        reads.append(Read(description=f"r{i}", content=read,
+                          locations=[CandidateLocation(
+                              start_in_reference=loc)]))
+    cfg = AlignConfig(backend="pallas", batch_tile=128)
+    _, stats = api.align_reads(Genome(content=genome), reads, cfg,
+                               return_stats=True)
+    assert stats.retried_pairs > 0
+    reasons = (stats.fail_tb_pairs + stats.fail_stall_pairs
+               + stats.fail_drift_pairs + stats.fail_incomplete_pairs)
+    # every failed lane sets at least one reason bit
+    assert reasons >= stats.retried_pairs
+    assert stats.fail_tb_pairs > 0  # garbage candidates exceed tb_cap
+    assert "fail[tb=" in stats.breakdown()
+
+
+def test_pyref_debug_dead_end_detection(monkeypatch):
+    """SCROOGE_DEBUG traceback guard (genasm_cpu.cpp:307-385): clean
+    tables traceback identically with the guard on; a corrupted table
+    (no zero anywhere) raises TracebackDeadEnd instead of emitting a
+    bogus '=' run."""
+    cfg = AlignConfig()
+    cases = _random_cases(31, 10)
+    plain = [pyref.align_pair(t, q, cfg) for t, q in cases]
+    monkeypatch.setattr(pyref, "DEBUG", True)
+    checked = [pyref.align_pair(t, q, cfg) for t, q in cases]
+    assert plain == checked
+
+    class _NoZeros:
+        def zero_at(self, *a):
+            return False
+
+    with pytest.raises(pyref.TracebackDeadEnd):
+        pyref.genasm_tb(4, 4, _NoZeros(), 2, cfg)
