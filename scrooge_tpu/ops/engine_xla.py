@@ -58,23 +58,37 @@ class BatchResult(NamedTuple):
     counts: jnp.ndarray  # (MAXW, B) int32 valid entries per window
 
 
-def _column_select(row, i, ip1, cols):
-    """Per-lane select of columns i and i+1 from row (COLS, NWH, S, 128).
+def _tb_bits(rowf, i, j, n_cols, nwh, ftw, W):
+    """The three DP bits one traceback step needs, via flat word gathers.
 
-    Unrolled compare-accumulate over the (static, small) column axis — the
-    TPU-friendly replacement for a per-lane gather.
+    rowf: the current d-level's stored row, flattened from
+    (COLS, NWH, S*128) — per-lane word fetch is a flat jnp.take
+    (word gathers cost ~0.5ns/element on TPU; the previous unrolled
+    compare-accumulate over all COLS was O(COLS*NWH) vector ops PER
+    STEP, which dominated traceback at large W).
+
+    Returns (zA_j1, zB_j, zB_j1): zero-tests of bit W-1-(j+1) of column
+    i, and bits W-1-j / W-1-(j+1) of column i+1. For j == m-1 the values
+    are unused by the caller (the jlast branch overrides them); indices
+    are clipped so they stay in range.
     """
-    nwh = row.shape[1]
-    lane_shape = row.shape[2:]
-    selA = [jnp.zeros(lane_shape, jnp.uint32) for _ in range(nwh)]
-    selB = [jnp.zeros(lane_shape, jnp.uint32) for _ in range(nwh)]
-    for c in range(cols):
-        eqA = i == c
-        eqB = ip1 == c
-        for w in range(nwh):
-            selA[w] = jnp.where(eqA, row[c, w], selA[w])
-            selB[w] = jnp.where(eqB, row[c, w], selB[w])
-    return jnp.stack(selA), jnp.stack(selB)
+    SL = rowf.shape[0] // (n_cols * nwh)
+    lane_id = jnp.arange(SL, dtype=jnp.int32).reshape(i.shape)
+    gbA = W - 2 - j  # global bit of pattern position j+1
+    gbB = W - 1 - j
+    wdA = jnp.clip((gbA >> 5) - ftw, 0, nwh - 1)
+    wdB = jnp.clip((gbB >> 5) - ftw, 0, nwh - 1)
+
+    def fetch(col, wd):
+        return jnp.take(rowf, (col * nwh + wd) * SL + lane_id)
+
+    one = jnp.uint32(1)
+    shA = (gbA & 31).astype(jnp.uint32)
+    shB = (gbB & 31).astype(jnp.uint32)
+    zA_j1 = ((fetch(i, wdA) >> shA) & one) == 0
+    zB_j = ((fetch(i + 1, wdB) >> shB) & one) == 0
+    zB_j1 = ((fetch(i + 1, wdA) >> shA) & one) == 0
+    return zA_j1, zB_j, zB_j1
 
 
 def _flush(entries, nfl, op, cnt, do_flush, ne):
@@ -227,6 +241,7 @@ def _window_step(cfg: AlignConfig, gather_text, tlen, pattern, plen, carry):
         lvl, i, j, dd, fin, cur_op, cur_cnt, nfl, entries = st
         row = lax.dynamic_slice(
             R, (lvl - 1, 0, 0, 0, 0), (1, COLS, NWH, S, 128))[0]
+        rowf = row.reshape(COLS * NWH * S * 128)
 
         def sub_cond(sst):
             _, _, _, fin_, _, _, _, _, safety = sst
@@ -241,12 +256,9 @@ def _window_step(cfg: AlignConfig, gather_text, tlen, pattern, plen, carry):
             fin_ = fin_ | term
             act = active & ~term
 
-            selA, selB = _column_select(row, i_, i_ + 1, COLS)
             i_limit = i_ >= n
             jlast = j_ == (m - 1)
-            zA_j1 = bv.bit_is_zero(selA, W - 1 - (j_ + 1), FTW)
-            zB_j = bv.bit_is_zero(selB, W - 1 - j_, FTW)
-            zB_j1 = bv.bit_is_zero(selB, W - 1 - (j_ + 1), FTW)
+            zA_j1, zB_j, zB_j1 = _tb_bits(rowf, i_, j_, COLS, NWH, FTW, W)
             # d > 0 is implied by lvl >= 1 (d_limit guard)
             can_ins = jnp.where(jlast, True, zA_j1)
             can_del = jnp.where(jlast, False, ~i_limit & zB_j)
