@@ -262,6 +262,124 @@ def banded_semiglobal(text: str, query: str,
         b *= 2
 
 
+NEG_INF = np.int32(-(1 << 29))
+
+
+def _gact_tile(t: np.ndarray, q: np.ndarray, commit: int, mat: int,
+               sub: int, gapo: int, gape: int):
+    """One GACT tile: affine-gap DP anchored at the tile's far corner,
+    forward traceback from (0, 0) committed for at most ``commit`` steps
+    on either sequence. Returns (ops string, consumed_q, consumed_t)."""
+    n, m = len(q), len(t)
+    # backward DP: X[i][j] = best score aligning q[i:] vs t[j:] ending at
+    # the far corner, with M/I/D the usual three affine states (I consumes
+    # a query char, D a text char)
+    M = np.full((n + 1, m + 1), NEG_INF, np.int32)
+    I = np.full((n + 1, m + 1), NEG_INF, np.int32)
+    D = np.full((n + 1, m + 1), NEG_INF, np.int32)
+    M[n, m] = 0
+    rem_t = (m - np.arange(m, dtype=np.int32)) * gape + gapo
+    M[n, :m] = D[n, :m] = rem_t
+    rem_q = (n - np.arange(n, dtype=np.int32)) * gape + gapo
+    M[:n, m] = I[:n, m] = rem_q
+    jj = np.arange(m + 1, dtype=np.int32)
+    for i in range(n - 1, -1, -1):
+        I[i, :m] = np.maximum(I[i + 1, :m], M[i + 1, :m] + gapo) + gape
+        diag = M[i + 1, 1:] + np.where(q[i] == t, mat, sub)
+        # In-row dependency D[i,j] = max(D[i,j+1], M[i,j+1]+gapo)+gape with
+        # M[i,j] = max(diag, I, D): substituting G[j] = max(D[i,j],
+        # M[i,j]+gapo) gives the pure suffix scan G[j] = max(G[j+1]+gape,
+        # ND[j]+gapo) over ND = max(diag, I) (gapo <= 0 absorbs the
+        # G+gape+gapo term), vectorized as a running max of G[j]+j*gape.
+        nd = np.maximum(diag, I[i, :m])
+        g = np.empty(m + 1, np.int32)
+        g[:m] = nd + gapo + jj[:m] * gape
+        g[m] = np.maximum(D[i, m], M[i, m] + gapo) + m * gape
+        gs = np.maximum.accumulate(g[::-1])[::-1]  # suffix max of G+j*gape
+        D[i, :m] = gs[1:] - jj[:m] * gape  # G[j+1] + gape - j*gape... see below
+        M[i, :m] = np.maximum(nd, D[i, :m])
+    ops = []
+    i = j = 0
+    state = "M"
+    while i < commit and j < commit and i < n and j < m:
+        if state == "M":
+            # tie priority diagonal > I > D (the scheme's fill priority)
+            diag = M[i + 1, j + 1] + (mat if q[i] == t[j] else sub)
+            if M[i, j] != diag:
+                state = "I" if M[i, j] == I[i, j] else "D"
+        if state == "I":
+            ops.append("I")
+            state = "I" if I[i, j] == I[i + 1, j] + gape else "M"
+            i += 1
+        elif state == "D":
+            ops.append("D")
+            state = "D" if D[i, j] == D[i, j + 1] + gape else "M"
+            j += 1
+        else:
+            ops.append("=" if q[i] == t[j] else "X")
+            i += 1
+            j += 1
+    return "".join(ops), i, j
+
+
+def gact_tiled(text: str, query: str, T: int = 320, O: int = 120,
+               match: int = 2, mismatch: int = 4, gap_open: int = 4,
+               gap_extend: int = 2) -> str:
+    """First-party GACT-tiling aligner — the role the reference's custom
+    GACT reimplementation plays as an accuracy-comparison target
+    (cpu_baseline.cpp:455-484 drives baseline_algorithms/gact/gact.cpp:
+    Darwin's tiled alignment: a T x T affine-gap DP tile anchored at the
+    current position, traceback committed only for the first T-O steps,
+    then the tile slides to the committed frontier).
+
+    Independent implementation of the scheme, not a port: the D-state
+    traceback follows the D matrix (the reference reads I_source in its
+    D branch — an upstream quirk not replicated), and leftover query
+    after the tile loop is emitted as trailing insertions so the CIGAR
+    covers the query (our CIGAR-oracle contract; the reference drops the
+    tail). Costs are passed as bonuses/penalties: match +2, mismatch -4,
+    gaps -(4 + 2k) by default, matching the repo's affine_score
+    convention. T=320/O=120 are the reference driver's tile shape
+    (cpu_baseline.cpp:468-469); the text should span exactly the read
+    length (the per-tile DP is global and pays for unconsumed text).
+    """
+    n, m = len(query), len(text)
+    if n == 0:
+        return ""
+    if m == 0:
+        return _rle(["I"] * n)
+    q = np.frombuffer(query.encode(), np.uint8)
+    t = np.frombuffer(text.encode(), np.uint8)
+    ops_all: list = []
+    i = j = 0
+    while i < n and j < m:
+        ops, ci, cj = _gact_tile(t[j : j + T], q[i : i + T], T - O,
+                                 match, -mismatch, -gap_open, -gap_extend)
+        if not ops:
+            break
+        ops_all.append(ops)
+        i += ci
+        j += cj
+    if i < n:
+        ops_all.append("I" * (n - i))
+    return _rle("".join(ops_all))
+
+
+def _rle(ops) -> str:
+    out = []
+    prev, cnt = "", 0
+    for op in ops:
+        if op == prev:
+            cnt += 1
+        else:
+            if cnt:
+                out.append(f"{cnt}{prev}")
+            prev, cnt = op, 1
+    if cnt:
+        out.append(f"{cnt}{prev}")
+    return "".join(out)
+
+
 def edlib_semiglobal(text: str, query: str) -> int:
     """Third-party cross-check: semiglobal edit distance via the `edlib`
     PyPI package (EDLIB_MODE_SHW, the mode the reference drives it in,

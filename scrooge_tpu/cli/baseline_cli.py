@@ -37,7 +37,7 @@ Options:
 --reads=[path to reads FASTQ]         -- override default reads data for performance test
 --seeds=[path to MAF or PAF]          -- override default seeds data for performance test
 --threads=[TILE[,MORE_TILES]]         -- run benchmarks with the given list of batch tiles (lanes) default:2048
---algorithms=[ALGORITHM[,MORE ALGORITHMS]] -- run only the specified algorithms, supported are: genasm_device, genasm_xla, genasm_pyref, exact, affine, banded
+--algorithms=[ALGORITHM[,MORE ALGORITHMS]] -- run only the specified algorithms, supported are: genasm_device, genasm_xla, genasm_pyref, exact, affine, banded, gact
 --scoring=[MAT],[SUB],[GAPO],[GAPE]   -- set affine gap model scoring function, all values should be positive default:2,4,4,2
 --simulated=[N[,LEN]]                 -- use a built-in simulated dataset instead of files
 --verbose                             -- print progress to stderr. Otherwise, only benchmark results are printed
@@ -50,7 +50,7 @@ ALLOWED = ["--reference", "--reads", "--seeds", "--threads", "--algorithms",
            "--scoring", "--simulated", "--verbose", "--accuracy", "--cigar",
            "--help"]
 ALL_ALGS = ["genasm_device", "genasm_xla", "genasm_pyref", "exact",
-            "affine", "banded"]
+            "affine", "banded", "gact"]
 
 
 def _load(args):
@@ -74,17 +74,27 @@ def _load(args):
 
 
 def _align_with(alg: str, genome, reads, tile: int):
-    if alg in ("exact", "affine", "banded"):
+    if alg in ("exact", "affine", "banded", "gact"):
         out: List[Alignment] = []
         t0 = time.perf_counter_ns()
         for read in reads:
             for loc in read.locations:
                 start = loc.start_in_reference
-                text = genome.content[start : start + 2 * len(read.content) + 64]
+                # gact's per-tile DP is global: the driver passes a text
+                # window of exactly read length (cpu_baseline.cpp:466)
+                span = (len(read.content) if alg == "gact"
+                        else 2 * len(read.content) + 64)
+                text = genome.content[start : start + span]
                 if alg == "exact":
                     ed, cg = exact_semiglobal(text, read.content)
                 elif alg == "banded":
                     ed, cg = banded_semiglobal(text, read.content)
+                elif alg == "gact":
+                    from ..baselines import gact_tiled
+                    from ..cigar import edits_in_cigar
+
+                    cg = gact_tiled(text, read.content)
+                    ed = edits_in_cigar(cg)
                 else:
                     _, cg = affine_semiglobal(text, read.content)
                     from ..cigar import edits_in_cigar

@@ -120,3 +120,60 @@ def test_affine_matches_bruteforce_and_rescoring():
                     __import__("scrooge_tpu.cigar", fromlist=["parse_cigar"]
                                ).parse_cigar(cigar) if op in "IDX")
         validate_cigar(cigar, edits, t, q)
+
+
+def _brute_affine_global(text, query, match=2, mismatch=4, go=4, ge=2):
+    """O(n*m) global affine score (both sequences fully consumed)."""
+    n, m = len(text), len(query)
+    NEG = -(1 << 29)
+    H = [[NEG] * (n + 1) for _ in range(m + 1)]
+    E = [[NEG] * (n + 1) for _ in range(m + 1)]
+    F = [[NEG] * (n + 1) for _ in range(m + 1)]
+    H[0][0] = 0
+    for j in range(1, n + 1):
+        F[0][j] = H[0][j] = -(go + ge * j)
+    for i in range(1, m + 1):
+        E[i][0] = H[i][0] = -(go + ge * i)
+        for j in range(1, n + 1):
+            E[i][j] = max(H[i][j - 1] - go - ge, E[i][j - 1] - ge)
+            F[i][j] = max(H[i - 1][j] - go - ge, F[i - 1][j] - ge)
+            s = match if text[j - 1] == query[i - 1] else -mismatch
+            H[i][j] = max(H[i - 1][j - 1] + s, E[i][j], F[i][j])
+    return H[m][n]
+
+
+def test_gact_tiled_valid_and_single_tile_optimal():
+    """GACT tiling baseline: perfect inputs give all-'=', every CIGAR is
+    semantically valid, and a single tile that consumes both sequences
+    entirely reproduces the optimal global affine score."""
+    from scrooge_tpu.baselines import gact_tiled
+    from scrooge_tpu.cigar import affine_score, parse_cigar
+
+    assert gact_tiled("ACGTACGTAA", "ACGTACGTAA") == "10="
+
+    rng = random.Random(77)
+    for _ in range(25):
+        L = rng.randint(4, 70)
+        t = "".join(rng.choice("ACGT") for _ in range(L))
+        q = "".join(c if rng.random() > 0.08 else rng.choice("ACGT")
+                    for c in t)  # substitutions only: same length
+        cigar = gact_tiled(t, q, T=128, O=16)
+        runs = parse_cigar(cigar)
+        qlen = sum(c for c, op in runs if op in "=XI")
+        tlen = sum(c for c, op in runs if op in "=XD")
+        assert qlen == len(q)
+        assert tlen <= len(t)
+        # equal-length substitution-only pairs: the global optimum ends
+        # at the far corner, which a single covering tile must find
+        if tlen == len(t):
+            assert affine_score(cigar) == _brute_affine_global(t, q), (t, q)
+
+    # multi-tile path stays valid and matches on indel cases
+    rng = random.Random(78)
+    genome = "".join(rng.choice("ACGT") for _ in range(600))
+    read = "".join(c for c in genome[:500] if rng.random() > 0.05)
+    cigar = gact_tiled(genome, read, T=96, O=24)
+    runs = parse_cigar(cigar)
+    assert sum(c for c, op in runs if op in "=XI") == len(read)
+    frac_eq = sum(c for c, op in runs if op == "=") / len(read)
+    assert frac_eq > 0.9, frac_eq
