@@ -178,3 +178,35 @@ def test_unalignable_raises():
     with pytest.raises(Exception) as exc_info:
         scrooge_tpu.align_all(["AAAAAAAA"], ["TTTTTTTT"], config=cfg)
     assert "no alignment within" in str(exc_info.value)
+
+
+def test_multi_tile_pipeline_parity():
+    """More pairs than one batch tile: the pipelined tile loop (H2D of
+    tile n+1 overlapped with device compute of tile n and postprocess of
+    n-1) must produce exactly the single-tile results, in input order,
+    through both interfaces."""
+    cases = _random_cases(29, 300, max_len=120)  # 3 tiles at tile=128
+    texts = [t for t, _ in cases]
+    queries = [q for _, q in cases]
+    got = scrooge_tpu.align_all(texts, queries, config=XLA_CFG)
+    one = scrooge_tpu.align_all(
+        texts, queries, config=AlignConfig(backend="xla", batch_tile=512))
+    assert [(a.edit_distance, a.cigar) for a in got] == \
+        [(a.edit_distance, a.cigar) for a in one]
+
+    rng = random.Random(31)
+    genome_str = "".join(rng.choice("ACGT") for _ in range(8000))
+    genome = Genome(content=genome_str)
+    reads = []
+    for i in range(300):
+        start = rng.randint(0, 7000)
+        seg = genome_str[start : start + 150]
+        content = "".join(c for c in seg if rng.random() > 0.05)
+        reads.append(Read(description=f"r{i}", content=content,
+                          locations=[CandidateLocation(
+                              start_in_reference=start)]))
+    got_r = scrooge_tpu.align_all(genome, reads, config=XLA_CFG)
+    one_r = scrooge_tpu.align_all(
+        genome, reads, config=AlignConfig(backend="xla", batch_tile=512))
+    assert [(a.edit_distance, a.cigar) for a in got_r] == \
+        [(a.edit_distance, a.cigar) for a in one_r]
