@@ -19,9 +19,13 @@ from __future__ import annotations
 from typing import Tuple
 
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
-UMAX = jnp.uint32(0xFFFFFFFF)
+# numpy scalar, NOT jnp: a module-level jnp constant would initialize the
+# XLA backend at import time, which breaks jax.distributed.initialize()
+# for multi-process users (it must run before any backend touch)
+UMAX = np.uint32(0xFFFFFFFF)
 
 
 def shl_var(x: jnp.ndarray, amt: jnp.ndarray) -> jnp.ndarray:

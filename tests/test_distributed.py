@@ -65,3 +65,54 @@ def test_single_process_distributed_matches_direct():
     assert len(direct) == len(via_dist)
     for a, b in zip(direct, via_dist):
         assert (a.edit_distance, a.cigar) == (b.edit_distance, b.cigar)
+
+def test_two_process_allgather_end_to_end(tmp_path):
+    """REAL 2-process jax.distributed run (CPU + gloo collectives): both
+    workers align their round-robin shard of one deterministic dataset,
+    allgather, and must each hold the full result list — identical to a
+    direct single-process alignment (the multi-process CPU simulation
+    SURVEY §4.8 calls for)."""
+    import json
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    import pytest
+
+    from scrooge_tpu.utils.simulate import simulate_dataset
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="",
+               XLA_FLAGS="",  # fresh single-device CPU workers
+               PYTHONPATH=repo_root + os.pathsep
+               + os.environ.get("PYTHONPATH", ""))
+    worker = os.path.join(os.path.dirname(__file__), "dist_worker.py")
+    outs = [str(tmp_path / f"out{p}.json") for p in range(2)]
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(p), "2", str(port), outs[p]],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+        for p in range(2)]
+    try:
+        for p in procs:
+            p.wait(timeout=300)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.skip("distributed workers timed out (no gloo support?)")
+    if any(p.returncode != 0 for p in procs):
+        errs = [p.stderr.read().decode()[-500:] for p in procs]
+        pytest.fail(f"worker failed: {errs}")
+
+    results = [json.load(open(o)) for o in outs]
+    assert results[0] == results[1]
+    ds = simulate_dataset(genome_len=20_000, num_reads=24, read_len=300,
+                          seed=17)
+    direct = scrooge_tpu.align_all(
+        ds.genome, ds.reads, config=AlignConfig(backend="xla",
+                                                batch_tile=128))
+    assert results[0] == [[a.edit_distance, a.cigar] for a in direct]
