@@ -110,6 +110,14 @@ FAIL_STALL = 2       # window consumed no text and no pattern (would loop)
 FAIL_DRIFT = 4       # lane drifted past SLAB_MARGIN_WORDS of the slab base
 FAIL_INCOMPLETE = 8  # slab loop ended before the read was consumed
 
+# Mosaic compile time explodes combinatorially with the per-char unpack
+# select-chain length, which scales with slab_words: 19-21-word chains
+# (W=64 kw=8, W=128 kw=4) compile in minutes and are hardware-validated;
+# a 35-word chain did not finish compiling in 40 minutes. Shapes whose
+# slab exceeds this bound are rejected by choose_kernel_shape in favor of
+# fewer fused windows per launch (smaller kw).
+MAX_SLAB_WORDS = 24
+
 
 def slab_io_words(cfg: AlignConfig, kw: int) -> int:
     """Words shipped to the kernel per lane per slab (span + drift
@@ -170,6 +178,8 @@ def choose_kernel_shape(cfg: AlignConfig, S: int,
         if sk <= 0 or S % sk:
             continue
         for kw in kws:
+            if slab_words(cfg, kw) > MAX_SLAB_WORDS and not _KW_OVERRIDE:
+                continue  # Mosaic select-chain compile bound (see above)
             if kernel_vmem_bytes(cfg, sk, kw) <= budget_bytes:
                 return sk, kw
     return 0, 0
