@@ -39,8 +39,12 @@ def main():
     cfg = AlignConfig(W=64, K=64, O=33, early_termination=True,
                       batch_tile=int(os.environ.get("BENCH_TILE", "32768")))
 
+    # BENCH_DECOYS > 0 switches to the chained candidate model (extra
+    # wrong candidates per read) — the retry-path stress workload
+    decoys = float(os.environ.get("BENCH_DECOYS", "0"))
     ds = simulate_dataset(genome_len=genome_len, num_reads=num_reads,
-                          read_len=read_len, accuracy=0.95, seed=7)
+                          read_len=read_len, accuracy=0.95, seed=7,
+                          decoys=decoys)
 
     # warmup: trace + compile on one full tile (same shapes as the timed
     # run, so the timed section is guaranteed cache-hot), excluded from

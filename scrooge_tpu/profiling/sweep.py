@@ -56,9 +56,10 @@ def _load(dataset: str, datasets_dir: Path, with_truth: bool = False):
         parts = dataset.split(":")
         num = int(parts[1]) if len(parts) > 1 else 512
         rlen = int(parts[2]) if len(parts) > 2 else 10_000
+        decoys = float(parts[3]) if len(parts) > 3 else 0.0
         ds = simulate_dataset(genome_len=1_000_000, num_reads=num,
                               read_len=rlen, accuracy=0.95, seed=11,
-                              with_truth=with_truth)
+                              with_truth=with_truth, decoys=decoys)
         return ((ds.genome, ds.reads, ds.truth) if with_truth
                 else (ds.genome, ds.reads))
     from .. import io as sio
@@ -349,7 +350,10 @@ def main(argv: Optional[List[str]] = None) -> int:
                    choices=["device", "xla", "accuracy", "groundtruth",
                             "baselines"])
     p.add_argument("dataset", type=str,
-                   help="datasets_dir subdirectory or 'simulated[:N[:len]]'")
+                   help="datasets_dir subdirectory or "
+                        "'simulated[:N[:len[:decoys]]]' (decoys>0 = the "
+                        "chained candidate model: extra wrong candidates "
+                        "per read)")
     p.add_argument("--datasets_dir", type=Path, default=Path("datasets"))
     p.add_argument("--profile_dir", type=Path, default=Path("profile"))
     p.add_argument("--max_experiments", type=int, default=8)

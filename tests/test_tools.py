@@ -126,3 +126,40 @@ def test_simulated_truth_and_dataset_roundtrip(tmp_path):
     assert [r.locations[0].start_in_reference for r in reads] == \
         [r.locations[0].start_in_reference for r in ds.reads]
     assert maf_truth_rows(str(out / "candidates.maf")) == ds.truth
+
+
+def test_simulated_chained_decoys():
+    """decoys>0 = the chained candidate model (pbsim_chained family):
+    extra wrong candidates appended after the true one, read content
+    bit-identical to the groundtruth model at the same seed, and the
+    device path must still return bit-exact results for every candidate
+    (wrong ones route through the batched retry)."""
+    import scrooge_tpu
+    from scrooge_tpu import AlignConfig
+    from scrooge_tpu.utils.simulate import simulate_dataset
+
+    base = simulate_dataset(genome_len=50_000, num_reads=12, read_len=400,
+                            seed=9)
+    ch = simulate_dataset(genome_len=50_000, num_reads=12, read_len=400,
+                          seed=9, decoys=1.5)
+    assert [r.content for r in base.reads] == [r.content for r in ch.reads]
+    n_locs = sum(len(r.locations) for r in ch.reads)
+    assert n_locs > 12  # decoys actually appended
+    assert all(r.locations[0].start_in_reference
+               == b.locations[0].start_in_reference
+               for r, b in zip(ch.reads, base.reads))
+
+    from scrooge_tpu import pyref
+
+    cfg = AlignConfig(backend="xla", batch_tile=128)
+    got = scrooge_tpu.align_all(ch.genome, ch.reads, config=cfg)
+    assert len(got) == n_locs
+    i = 0
+    ref_cfg = AlignConfig()
+    for read in ch.reads:
+        for loc in read.locations:
+            ed, cigar = pyref.align_pair(
+                ch.genome.content[loc.start_in_reference:], read.content,
+                ref_cfg)
+            assert (got[i].edit_distance, got[i].cigar) == (ed, cigar)
+            i += 1
