@@ -12,7 +12,7 @@ Execution model (replaces OpenMP threads / persistent CUDA blocks):
    tiles (multiples of 128 = TPU lane width),
  - per tile, one jitted lockstep scan over DP windows does everything on
    device; CIGAR runs come back packed and are stringified on host,
- - pad-dimension bucketing (powers of two) bounds the number of XLA
+ - pad-dimension bucketing (linear steps) bounds the number of XLA
    retraces across calls — the analogue of the reference's
    recompile-per-config, amortized.
 
@@ -120,13 +120,6 @@ class AlignStats:
         self.fail_incomplete_pairs += int((m & 8).astype(bool).sum())
 
 
-def _bucket(n: int, minimum: int = 64) -> int:
-    b = minimum
-    while b < n:
-        b *= 2
-    return b
-
-
 def _bucket_lin(n: int, step: int) -> int:
     """Round up to a multiple of step (tighter than power-of-two padding:
     transferred bytes scale with the pad, and host<->device bandwidth is
@@ -157,6 +150,16 @@ def _device_put_synced(*arrays, shardings=None, stats=None):
         stats.upload_ns += time.perf_counter_ns() - t0
         stats.upload_bytes += sum(a.nbytes for a in arrays)
     return out
+
+
+def _build_rows_np(n_rows: int, build_chunk,
+                   chunk_rows: int = 4096) -> np.ndarray:
+    """Materialize build_chunk(c0, c1) rows as one host array (the mesh
+    tile path: a sharded device_put needs the full buffer up front;
+    chunking keeps build_chunk's peak temp small and the chunk size in
+    one place with _upload_rows_chunked)."""
+    return np.concatenate([build_chunk(c0, min(c0 + chunk_rows, n_rows))
+                           for c0 in range(0, n_rows, chunk_rows)], axis=0)
 
 
 def _upload_rows_chunked(stats, n_rows: int, build_chunk,
@@ -312,8 +315,6 @@ def _build_alignments(cfg, tile_pairs, res, stats, eds_host=None,
             return mesh_mod.compact_on_mesh(mesh, e, c, cap, True,
                                             sparse_rows)
 
-    cigars = None
-    use_u8 = use_u8 and native.get_lib() is not None
     fmt = native.format_cigars_u8 if use_u8 else native.format_cigars
     compactor = compact_entries_u8 if use_u8 else compact_entries
     compacted, totals = compactor(res.entries, res.counts, cap)
@@ -377,7 +378,7 @@ def _retry_pyref(cfg, text_codes: np.ndarray, pattern_codes: np.ndarray,
     return Alignment(cigar=cigar, edit_distance=ed)
 
 
-def _retry_batched_xla(cfg, items, stats, results):
+def _retry_batched_xla(cfg, items, stats, results, mesh=None):
     """Batched retry for lanes the Pallas engine failed.
 
     The Pallas engine gives up on a window whose edit distance exceeds
@@ -390,17 +391,20 @@ def _retry_batched_xla(cfg, items, stats, results):
     AlignmentError for genuinely unalignable pairs.
 
     items: list of (result_index, text_codes, pattern_codes).
-    Writes Alignment objects into results[result_index].
+    Writes Alignment objects into results[result_index]. Runs on the
+    pairs mesh when one is given — decoy-heavy inputs fail thousands of
+    lanes at once, and an unsharded retry would idle every other device.
     """
     from .ops import engine_xla
 
     if not items:
         return
     stats.retried_pairs += len(items)
-    chunk = max(cfg.batch_tile, 128)
+    lane_mult = 128 * (int(mesh.devices.size) if mesh is not None else 1)
+    chunk = max(cfg.batch_tile, lane_mult)
     for c0 in range(0, len(items), chunk):
         part = items[c0 : c0 + chunk]
-        B = _bucket_lin(len(part), 128)
+        B = _bucket_lin(len(part), lane_mult)
         P = _bucket_lin(max((len(p) for _, _, p in part), default=1) or 1,
                         1024)
         T = _bucket_lin(max((len(t) for _, t, _ in part), default=1) or 1,
@@ -413,9 +417,16 @@ def _retry_batched_xla(cfg, items, stats, results):
         plen = np.zeros(B, np.int32)
         tlen[: len(part)] = _fill_rows(text, [t for _, t, _ in part])
         plen[: len(part)] = _fill_rows(pattern, [p for _, _, p in part])
-        args = _device_put_synced(text, tlen, pattern, plen)
-        res = engine_xla.align_batch(cfg, maxw, *args)
-        eds, cigars, failed = _build_alignments(cfg, part, res, stats)
+        if mesh is not None:
+            from .parallel import mesh as mesh_mod
+
+            res = mesh_mod.align_batch_on_mesh(cfg, maxw, mesh, text, tlen,
+                                               pattern, plen)
+        else:
+            args = _device_put_synced(text, tlen, pattern, plen)
+            res = engine_xla.align_batch(cfg, maxw, *args)
+        eds, cigars, failed = _build_alignments(cfg, part, res, stats,
+                                                mesh=mesh)
         for lane, (ri, t, p) in enumerate(part):
             if failed[lane]:
                 results[ri] = _retry_pyref(cfg, t, p, ri)
@@ -528,11 +539,8 @@ def align_pairs(
             from .parallel import mesh as mesh_mod
 
             tp0 = time.perf_counter_ns()
-            bt, bp = build_rows(text_codes, T), build_rows(query_codes, P)
-            text_np = np.concatenate(
-                [bt(c0, min(c0 + 4096, B)) for c0 in range(0, B, 4096)])
-            pattern_np = np.concatenate(
-                [bp(c0, min(c0 + 4096, B)) for c0 in range(0, B, 4096)])
+            text_np = _build_rows_np(B, build_rows(text_codes, T))
+            pattern_np = _build_rows_np(B, build_rows(query_codes, P))
             stats.prep_ns += time.perf_counter_ns() - tp0
             sh2 = mesh_mod.pair_sharding(mesh, 0, 2)
             sh1 = mesh_mod.pair_sharding(mesh, 0, 1)
@@ -588,7 +596,7 @@ def align_pairs(
             pool.shutdown(wait=True)
     elif pool is not None:
         pool.shutdown(wait=True)
-    _retry_batched_xla(cfg, retry_items, stats, results)
+    _retry_batched_xla(cfg, retry_items, stats, results, mesh)
     _log_throughput(stats)
     return (results, stats) if return_stats else results
 
@@ -652,11 +660,21 @@ def align_reads(
                 chunk = np.pad(chunk, (0, 16 - len(chunk) % 16))
             packed[s // 16 : s // 16 + len(chunk) // 16] = \
                 engine_pallas.pack_2bit_host(chunk[None, :])[0]
-        genome_dev = jnp.asarray(packed)
+        genome_host = packed
     else:
-        genome_padded = (np.pad(genome_codes, (0, gpad - glen))
-                         if gpad != glen else genome_codes)
-        genome_dev = jnp.asarray(genome_padded)
+        genome_host = (np.pad(genome_codes, (0, gpad - glen))
+                       if gpad != glen else genome_codes)
+    if mesh is not None:
+        # replicate ONCE: the per-tile device_put inside the mesh helpers
+        # then no-ops on the already-committed array (re-broadcasting a
+        # ~0.78 GB packed human genome per tile would swamp the pipeline)
+        import jax
+
+        from .parallel import mesh as mesh_mod
+
+        genome_dev = jax.device_put(genome_host, mesh_mod.replicated(mesh))
+    else:
+        genome_dev = jnp.asarray(genome_host)
     stats.prep_ns += time.perf_counter_ns() - tp0
     # reads are encoded lazily inside the chunked tile upload (the encode
     # then runs under the previous chunk's h2d transfer); length-sorting
@@ -717,9 +735,7 @@ def align_reads(
             from .parallel import mesh as mesh_mod
 
             tp0 = time.perf_counter_ns()
-            pattern_np = np.concatenate(
-                [build_pattern_rows(c0, min(c0 + 4096, B))
-                 for c0 in range(0, B, 4096)], axis=0)
+            pattern_np = _build_rows_np(B, build_pattern_rows)
             stats.prep_ns += time.perf_counter_ns() - tp0
             sh2 = mesh_mod.pair_sharding(mesh, 0, 2)
             sh1 = mesh_mod.pair_sharding(mesh, 0, 1)
@@ -785,7 +801,7 @@ def align_reads(
             pool.shutdown(wait=True)
     elif pool is not None:
         pool.shutdown(wait=True)
-    _retry_batched_xla(cfg, retry_items, stats, results)
+    _retry_batched_xla(cfg, retry_items, stats, results, mesh)
     _log_throughput(stats)
     return (results, stats) if return_stats else results
 

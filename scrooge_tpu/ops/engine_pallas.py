@@ -892,17 +892,24 @@ def _align_scan(cfg: AlignConfig, sk: int, kw: int, max_windows: int,
         """One contiguous slab for the whole batch: words (NWD2, B),
         per-lane in-slab bit offsets, and the beyond-margin mask.
 
-        The base is the active lanes' minimum word position, UNLESS the
-        active spread exceeds the drift margin: then base = max - M, so a
-        single pathological laggard (e.g. an insertion-dominated garbage
-        candidate whose text cursor crawls) fails alone instead of
-        dragging the base down and spuriously failing every other lane in
-        the batch to the retry path."""
+        The base is the active lanes' minimum word position while every
+        active lane fits the drift margin (the common case: all survive).
+        When the spread exceeds the margin, somebody must fail — the base
+        centers on the ACTIVE MEAN, which tracks the bulk of the pack, so
+        a single pathological outlier in either direction (an insertion-
+        dominated laggard whose text cursor crawls, or a deletion-rich
+        leader racing ahead) fails alone instead of dragging the base
+        with it and spuriously failing every other lane to the retry
+        path. The mean is robust here: one outlier among thousands of
+        lanes moves it by drift/B words."""
         wd = buf_t.shape[0]
         w0 = cpos >> 4
         w0min = jnp.min(jnp.where(act, w0, jnp.int32(1 << 30)))
         w0max = jnp.max(jnp.where(act, w0, jnp.int32(-1)))
-        base = jnp.maximum(w0min, w0max - M)
+        n_act = jnp.maximum(jnp.sum(act.astype(jnp.int32)), 1)
+        w0mean = jnp.sum(jnp.where(act, w0, 0)) // n_act
+        centered = jnp.clip(w0mean - M // 2, w0min, w0max)
+        base = jnp.where(w0max - w0min <= M, w0min, centered)
         base = jnp.clip(base, 0, max(wd - NWD2, 0))
         words = lax.dynamic_slice(buf_t, (base, jnp.int32(0)), (NWD2, B))
         woff = w0 - base

@@ -269,8 +269,11 @@ def sweep_baselines(genome, reads, out: Path, batch: int,
         print(f"[{datetime.now()}] baselines {alg} ({len(subset)} reads)",
               file=sys.stderr)
         try:
-            _align_with(alg, genome, subset[: min(len(subset), batch)],
-                        batch)  # warmup: jit outside the timed run
+            if alg.startswith("genasm_") and alg != "genasm_pyref":
+                # warmup: jit compile outside the timed run (the scalar
+                # DP baselines have nothing to warm — skip the double run)
+                _align_with(alg, genome, subset[: min(len(subset), batch)],
+                            batch)
             _, aps = _align_with(alg, genome, subset, batch)
         except Exception as e:
             print(f"{alg} failed ({e})", file=sys.stderr)

@@ -284,3 +284,42 @@ def test_pyref_debug_dead_end_detection(monkeypatch):
 
     with pytest.raises(pyref.TracebackDeadEnd):
         pyref.genasm_tb(4, 4, _NoZeros(), 2, cfg)
+
+
+def test_single_leader_does_not_fail_batch():
+    """Mirror of the laggard case: one CLEAN lane among an insertion-rich
+    pack races ahead in text position; the slab base must track the pack
+    (active mean), failing the leader alone — not follow the leader's max
+    and mass-fail everyone else."""
+    cfg = _AC(W=64, K=64, O=33)
+    B, span = 128, 600
+    rng = np.random.default_rng(17)
+    text = rng.integers(0, 4, (B, span + 80), dtype=np.uint8)
+    # pack: every text char kept, ~45% random insertions -> text cursor
+    # advances ~21 chars/window instead of ~31
+    pats = []
+    for lane_i in range(B):
+        src = text[lane_i, :span]
+        reps = np.where(rng.random(span) < 0.45, 2, 1)
+        p = np.repeat(src, reps)
+        ins_pos = np.cumsum(reps) - 1
+        ins_pos = ins_pos[reps == 2]
+        p[ins_pos] = rng.integers(0, 4, len(ins_pos))
+        pats.append(p)
+    # lane 0: clean read over the same span -> advances ~31 chars/window
+    pats[0] = text[0, :span].copy()
+    P = max(len(p) for p in pats)
+    pattern = np.zeros((B, P), np.uint8)
+    plen = np.zeros(B, np.int32)
+    for lane_i, p in enumerate(pats):
+        pattern[lane_i, : len(p)] = p
+        plen[lane_i] = len(p)
+    tlen = np.full(B, span + 80, np.int32)
+    maxw = cfg.max_windows(int(plen.max()))
+    rp = engine_pallas.align_batch(
+        cfg, maxw, 1, 8,
+        engine_pallas.pack_2bit_host(text), tlen,
+        engine_pallas.pack_2bit_host(pattern), plen)
+    failed = np.asarray(rp.failed)
+    # the insertion-rich pack must survive regardless of lane 0
+    assert int((failed[1:] != 0).sum()) == 0, int((failed[1:] != 0).sum())
