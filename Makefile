@@ -4,7 +4,7 @@
 
 PY ?= python
 
-.PHONY: test test-fast bench native example sweep clean
+.PHONY: test test-fast bench native example sweep accuracy clean
 
 test:
 	$(PY) -m pytest tests/ -q
@@ -23,6 +23,10 @@ example:
 
 sweep:
 	$(PY) -m scrooge_tpu.profiling.sweep device simulated:256:2000 --profile_dir=profile
+
+accuracy:
+	$(PY) -m scrooge_tpu.profiling.sweep groundtruth simulated:256:4000 --max_experiments=8 --max_W=128 --profile_dir=profile
+	$(PY) -m scrooge_tpu.profiling.sweep baselines simulated:256:2000 --profile_dir=profile
 
 clean:
 	rm -rf .jax_cache profile scrooge_tpu/native/_cigar_strings.so
