@@ -168,19 +168,27 @@ def _window_step(cfg: AlignConfig, gather_text, tlen, pattern, plen, carry):
     # OUTSIDE the d-loop. (XLA CPU compiles loop-variant shift chains that
     # feed nested-loop carry inits pathologically slowly; a table +
     # dynamic_slice sidesteps it and is cheaper per row anyway.)
-    d_all = jnp.arange(ROWS + 1, dtype=jnp.int32)
+    d_all = jnp.arange(ROWS + 2, dtype=jnp.int32)
     ones_table = jax.vmap(lambda dv: bv.ones_shifted(s + dv, W))(d_all)
 
+    # Two-row register wavefront (same design as the Pallas kernel): each
+    # i-pass fills rows d AND d+1 together — row d+1 at column i needs
+    # R[i][d] (this pass's center_d) and R[i+1][d] (the carry before
+    # update), both in registers — halving the pass count, the per-column
+    # ff/pm slices, and the ff writes. Pair stores use a 2-row block, so
+    # R carries one scratch row (d+1 == K+1 when K is even lands there
+    # and is never read: wed <= K).
     def d_body(st):
         d, R, ff, found, wed = st
-        ones_d = lax.dynamic_slice(
-            ones_table, (d, 0, 0, 0), (1, NW, S, 128))[0]
+        ones_pair = lax.dynamic_slice(
+            ones_table, (d, 0, 0, 0), (2, NW, S, 128))
+        ones_d, ones_d1 = ones_pair[0], ones_pair[1]
         is_zero = d == 0
 
         def i_body(step, ist):
             # i descends W .. 0; the i == W column takes the all-start path
             i = W - step
-            right, topright, ff_, rrow = ist
+            right, right1, topright, ff_, rrow = ist
             top = lax.dynamic_slice(
                 ff_, (i, 0, 0, 0), (1, NW, S, 128))[0]
             cur_pm = lax.dynamic_slice(
@@ -190,27 +198,40 @@ def _window_step(cfg: AlignConfig, gather_text, tlen, pattern, plen, carry):
             full = mat & bv.shl1(topright, W) & bv.shl1(top, W) & topright
             nonstart = jnp.where(is_zero, mat, full)
             center = jnp.where(is_start, ones_d, nonstart)
-            ff_ = lax.dynamic_update_slice(ff_, center[None], (i, 0, 0, 0))
+            # row d+1: top = R[i][d] = center, topright = R[i+1][d] = the
+            # un-updated right carry; never the d == 0 special case
+            mat1 = bv.shl1(right1, W) | cur_pm
+            full1 = mat1 & bv.shl1(right, W) & bv.shl1(center, W) & right
+            center1 = jnp.where(is_start, ones_d1, full1)
+            ff_ = lax.dynamic_update_slice(ff_, center1[None], (i, 0, 0, 0))
             # store the traceback words; i >= COLS writes land on slot
             # COLS-1 and are overwritten by the real i == COLS-1 later
             # (i descends), so no predication is needed
             rrow = lax.dynamic_update_slice(
-                rrow, center[FTW:NW][None], (jnp.minimum(i, COLS - 1), 0, 0, 0))
-            return center, top, ff_, rrow
+                rrow,
+                jnp.stack([center[FTW:NW], center1[FTW:NW]])[None],
+                (jnp.minimum(i, COLS - 1), 0, 0, 0, 0))
+            return center, center1, top, ff_, rrow
 
         # constant carry inits (right/topright are never read at i == W)
         right0 = bv.zeros(W, lane)
+        right10 = bv.zeros(W, lane)
         topright0 = bv.zeros(W, lane)
-        rrow0 = jnp.zeros((COLS, NWH, S, 128), jnp.uint32)
-        center, _, ff, rrow = lax.fori_loop(
-            0, W + 1, i_body, (right0, topright0, ff, rrow0))
+        rrow0 = jnp.zeros((COLS, 2, NWH, S, 128), jnp.uint32)
+        center, center1, _, ff, rrow = lax.fori_loop(
+            0, W + 1, i_body, (right0, right10, topright0, ff, rrow0))
 
         hit = ((center[NW - 1] >> top_bit_off) & 1) == 0
         newly = hit & ~found
         wed = jnp.where(newly, d, wed)
         found = found | newly
-        R = lax.dynamic_update_slice(R, rrow[None], (d, 0, 0, 0, 0))
-        return d + 1, R, ff, found, wed
+        hit1 = (((center1[NW - 1] >> top_bit_off) & 1) == 0) & (d + 1 <= K)
+        newly1 = hit1 & ~found
+        wed = jnp.where(newly1, d + 1, wed)
+        found = found | newly1
+        R = lax.dynamic_update_slice(
+            R, rrow.transpose(1, 0, 2, 3, 4), (d, 0, 0, 0, 0))
+        return d + 2, R, ff, found, wed
 
     def d_cond(st):
         d, _, _, found, _ = st
@@ -219,7 +240,8 @@ def _window_step(cfg: AlignConfig, gather_text, tlen, pattern, plen, carry):
             return in_range & ~jnp.all(found)
         return in_range
 
-    R0 = jnp.zeros((ROWS, COLS, NWH, S, 128), jnp.uint32)
+    # ROWS + 1: one scratch row for the pair store at even K (see above)
+    R0 = jnp.zeros((ROWS + 1, COLS, NWH, S, 128), jnp.uint32)
     ff0 = jnp.zeros((W + 1, NW, S, 128), jnp.uint32)
     found0 = jnp.zeros(lane, bool)
     wed0 = jnp.zeros(lane, jnp.int32)
