@@ -13,6 +13,9 @@ the comparison roles those baselines play:
  - ``banded_semiglobal``: adaptive band-doubling edit-distance aligner
    (the WFA-adaptive / banded role, cpu_baseline.cpp:418-453): exact
    results, O(m*band) work on easy pairs.
+ - ``wfa_global`` / ``wfa_semiglobal`` / ``wfa_distance`` (re-exported
+   from wfa.py): first-party exact wavefront aligner — the wfa_exact and
+   low-memory wfa_lm roles (cpu_baseline.cpp:487-549, :387-438).
  - ``edlib_semiglobal``: optional cross-check through the third-party
    `edlib` PyPI package when it is installed (tests skip otherwise).
 
@@ -391,6 +394,9 @@ def edlib_semiglobal(text: str, query: str) -> int:
         return 0
     r = edlib.align(query, text, mode="SHW", task="distance")
     return int(r["editDistance"])
+
+
+from .wfa import wfa_distance, wfa_global, wfa_semiglobal  # noqa: E402,F401
 
 
 def semiglobal_distance(text: str, query: str) -> int:

@@ -8,8 +8,15 @@ with this framework's algorithm set:
   genasm_xla     — the portable XLA engine
   genasm_pyref   — the scalar oracle
   exact          — exact semiglobal edit-distance DP (the edlib role)
-  affine         — exact affine-gap Gotoh DP (the ksw2/WFA-exact role)
+  affine         — exact affine-gap Gotoh DP (the ksw2 role)
   banded         — adaptive band-doubling aligner (the WFA-adaptive role)
+  wfa            — first-party exact wavefront aligner, global on a
+                   read-length text window (the wfa_exact role,
+                   cpu_baseline.cpp:487-549)
+  wfa_lm         — low-memory penalty-only wavefront pass (the wfa_lm
+                   role, cpu_baseline.cpp:387-438; perf-only, no CIGAR —
+                   the reference has no wfa_lm accuracy adapter either)
+  gact           — GACT-tiling aligner (the Darwin custom-GACT role)
 
 Output formats are API (scraped by sweep tooling, profile.py:293 regex):
   "<algorithm>: <N.NN> aligns/second"
@@ -37,7 +44,7 @@ Options:
 --reads=[path to reads FASTQ]         -- override default reads data for performance test
 --seeds=[path to MAF or PAF]          -- override default seeds data for performance test
 --threads=[TILE[,MORE_TILES]]         -- run benchmarks with the given list of batch tiles (lanes) default:2048
---algorithms=[ALGORITHM[,MORE ALGORITHMS]] -- run only the specified algorithms, supported are: genasm_device, genasm_xla, genasm_pyref, exact, affine, banded, gact
+--algorithms=[ALGORITHM[,MORE ALGORITHMS]] -- run only the specified algorithms, supported are: genasm_device, genasm_xla, genasm_pyref, exact, affine, banded, wfa, wfa_lm, gact
 --scoring=[MAT],[SUB],[GAPO],[GAPE]   -- set affine gap model scoring function, all values should be positive default:2,4,4,2
 --simulated=[N[,LEN]]                 -- use a built-in simulated dataset instead of files
 --verbose                             -- print progress to stderr. Otherwise, only benchmark results are printed
@@ -50,7 +57,7 @@ ALLOWED = ["--reference", "--reads", "--seeds", "--threads", "--algorithms",
            "--scoring", "--simulated", "--verbose", "--accuracy", "--cigar",
            "--help"]
 ALL_ALGS = ["genasm_device", "genasm_xla", "genasm_pyref", "exact",
-            "affine", "banded", "gact"]
+            "affine", "banded", "wfa", "wfa_lm", "gact"]
 
 
 def _load(args):
@@ -74,21 +81,35 @@ def _load(args):
 
 
 def _align_with(alg: str, genome, reads, tile: int):
-    if alg in ("exact", "affine", "banded", "gact"):
+    if alg in ("exact", "affine", "banded", "wfa", "wfa_lm", "gact"):
         out: List[Alignment] = []
         t0 = time.perf_counter_ns()
         for read in reads:
             for loc in read.locations:
                 start = loc.start_in_reference
-                # gact's per-tile DP is global: the driver passes a text
-                # window of exactly read length (cpu_baseline.cpp:466)
-                span = (len(read.content) if alg == "gact"
+                # gact's per-tile DP and wfa's global alignment both pay
+                # for unconsumed text: the driver passes a text window of
+                # exactly read length (cpu_baseline.cpp:466,516-517)
+                span = (len(read.content) if alg in ("gact", "wfa",
+                                                     "wfa_lm")
                         else 2 * len(read.content) + 64)
                 text = genome.content[start : start + span]
                 if alg == "exact":
                     ed, cg = exact_semiglobal(text, read.content)
                 elif alg == "banded":
                     ed, cg = banded_semiglobal(text, read.content)
+                elif alg == "wfa":
+                    from ..cigar import edits_in_cigar
+                    from ..wfa import wfa_global
+
+                    _, cg = wfa_global(text, read.content)
+                    ed = edits_in_cigar(cg)
+                elif alg == "wfa_lm":
+                    from ..wfa import wfa_distance
+
+                    ed = wfa_distance(text, read.content,
+                                      semiglobal=False)
+                    cg = ""
                 elif alg == "gact":
                     from ..baselines import gact_tiled
                     from ..cigar import edits_in_cigar

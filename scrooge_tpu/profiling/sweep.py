@@ -260,11 +260,13 @@ def sweep_baselines(genome, reads, out: Path, batch: int,
     from ..cli.baseline_cli import _align_with
 
     algorithms = algorithms or ["genasm_device", "genasm_xla", "exact",
-                                "affine", "banded", "gact"]
+                                "affine", "banded", "wfa", "wfa_lm",
+                                "gact"]
     few = list(reads)[: baseline_pairs]
     data: List = []
     for alg in algorithms:
-        subset = few if alg in ("exact", "affine", "banded", "gact",
+        subset = few if alg in ("exact", "affine", "banded", "wfa",
+                                "wfa_lm", "gact",
                                 "genasm_pyref") else reads
         print(f"[{datetime.now()}] baselines {alg} ({len(subset)} reads)",
               file=sys.stderr)

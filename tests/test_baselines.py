@@ -177,3 +177,93 @@ def test_gact_tiled_valid_and_single_tile_optimal():
     assert sum(c for c, op in runs if op in "=XI") == len(read)
     frac_eq = sum(c for c, op in runs if op == "=") / len(read)
     assert frac_eq > 0.9, frac_eq
+
+
+def _penalty_oracle(text, query, x, o, e, semiglobal):
+    """Independent min-plus Gotoh DP in WFA penalty space: matches free,
+    mismatch x, a length-L gap costs o + e*L."""
+    n, m = len(text), len(query)
+    INF = 1 << 28
+    H = [0] + [o + e * j for j in range(1, n + 1)]
+    E = [INF] * (n + 1)
+    F = [INF] * (n + 1)
+    for i in range(1, m + 1):
+        prev = H
+        H = [o + e * i] + [0] * n
+        F = [min(F[j], prev[j] + o) + e for j in range(n + 1)]
+        F[0] = H[0]
+        E = [INF] * (n + 1)
+        for j in range(1, n + 1):
+            E[j] = min(E[j - 1], H[j - 1] + o) + e
+            d = prev[j - 1] + (0 if text[j - 1] == query[i - 1] else x)
+            H[j] = min(d, E[j], F[j])
+    return min(H) if semiglobal else H[n]
+
+
+def _cigar_penalty(cigar, x, o, e):
+    from scrooge_tpu.cigar import parse_cigar
+
+    p = 0
+    for cnt, op in parse_cigar(cigar):
+        if op == "X":
+            p += x * cnt
+        elif op in "ID":
+            p += o + e * cnt
+    return p
+
+
+def _check_wfa_cigar(cigar, text, query, semiglobal):
+    from scrooge_tpu.cigar import parse_cigar
+
+    i = j = 0
+    for cnt, op in parse_cigar(cigar):
+        for _ in range(cnt):
+            if op == "=":
+                assert query[i] == text[j]
+                i, j = i + 1, j + 1
+            elif op == "X":
+                assert query[i] != text[j]
+                i, j = i + 1, j + 1
+            elif op == "I":
+                i += 1
+            else:
+                j += 1
+    assert i == len(query)
+    assert j <= len(text) if semiglobal else j == len(text)
+
+
+def test_wfa_matches_penalty_oracle():
+    """wfa_global/wfa_semiglobal are exact: optimal penalty equals an
+    independent min-plus Gotoh oracle, and the returned CIGAR re-derives
+    exactly that penalty (so the traceback is an optimal path)."""
+    from scrooge_tpu.wfa import wfa_global, wfa_semiglobal
+
+    for idx, (t, q) in enumerate(_cases(42, 40)):
+        # vary penalties, including o=0 (linear gaps) and x < e
+        x, o, e = [(4, 6, 2), (1, 0, 1), (2, 3, 1), (5, 1, 3)][idx % 4]
+        for semi, fn in ((True, wfa_semiglobal), (False, wfa_global)):
+            pen, cigar = fn(t, q, x, o, e)
+            assert pen == _penalty_oracle(t, q, x, o, e, semi), (t, q)
+            assert _cigar_penalty(cigar, x, o, e) == pen, (t, q, cigar)
+            _check_wfa_cigar(cigar, t, q, semi)
+
+
+def test_wfa_distance_low_memory_matches_full():
+    from scrooge_tpu.wfa import (wfa_distance, wfa_global,
+                                 wfa_semiglobal)
+
+    for idx, (t, q) in enumerate(_cases(43, 20)):
+        x, o, e = [(4, 6, 2), (2, 3, 1)][idx % 2]
+        for semi, fn in ((True, wfa_semiglobal), (False, wfa_global)):
+            pen, _ = fn(t, q, x, o, e)
+            assert wfa_distance(t, q, x, o, e, semiglobal=semi) == pen
+
+
+def test_wfa_semiglobal_unit_penalties_is_edit_distance():
+    """x=1, o=0, e=1 penalties turn WFA into plain semiglobal edit
+    distance — cross-checks it against the repo's other exact aligners."""
+    from scrooge_tpu.wfa import wfa_semiglobal
+
+    for t, q in _cases(44, 30):
+        pen, _ = wfa_semiglobal(t, q, x=1, o=0, e=1)
+        assert pen == _brute_semiglobal(t, q)
