@@ -19,6 +19,13 @@ framework's CSV schemas (profiling/sweep.py, profiling/model.py):
                 (plot.py baseline-comparison family)
   representative — representative-config (W=64+ET) summary against the
                 baselines + the engine's W scaling (plot.py:1272-1331)
+  scaling     — throughput + weak-scaling efficiency vs device count on
+                the pairs mesh (the threads-sweep family,
+                plot.py throughput-vs-threads, retargeted from OpenMP
+                threads to mesh devices)
+  kernel      — kernel-knob sweep, aligns/s per (kw windows/slab,
+                sk sublane tile) point (the GPU threadblocks/SM +
+                DP-memory knob family, profile.py:177-248)
 
 All figures are optional conveniences: matplotlib is imported lazily so
 the core library never depends on it.
@@ -281,11 +288,92 @@ def plot_representative(wo_csv: str, baselines_csv: str, out: str,
     print(f"wrote {out}")
 
 
+def plot_scaling(csv_path: str, out: str):
+    """Mesh-scaling family: aligns/s and weak-scaling efficiency vs
+    device count (CSV from profiling.sweep.sweep_scaling — the analogue
+    of the reference's threads sweep, profile.py:104-122, with mesh
+    devices in place of OpenMP threads)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    rows = _read_csv(csv_path)
+    by_engine: Dict[str, List[Dict[str, str]]] = defaultdict(list)
+    for r in rows:
+        by_engine[r.get("engine", "xla")].append(r)
+
+    fig, axes = plt.subplots(1, 2, figsize=(10, 4))
+    for eng, rs in sorted(by_engine.items()):
+        rs = sorted(rs, key=lambda r: int(r["devices"]))
+        devs = [int(r["devices"]) for r in rs]
+        axes[0].plot(devs, [float(r["aligns_per_second"]) for r in rs],
+                     marker="o", label=eng)
+        axes[1].plot(devs,
+                     [float(r["weak_scaling_efficiency"]) for r in rs],
+                     marker="o", label=eng)
+    if by_engine:
+        rs = next(iter(sorted(by_engine.items())))[1]
+        devs = sorted(int(r["devices"]) for r in rs)
+        base = min(float(r["aligns_per_second"]) for r in rs
+                   if int(r["devices"]) == devs[0])
+        axes[0].plot(devs, [base * d / devs[0] for d in devs], "k--",
+                     alpha=0.5, label="linear")
+    for ax, ylab, title in ((axes[0], "aligns/second", "Throughput"),
+                            (axes[1], "efficiency",
+                             "Weak-scaling efficiency")):
+        ax.set_xlabel("devices")
+        ax.set_ylabel(ylab)
+        ax.set_title(title)
+        ax.legend()
+        ax.grid(alpha=0.3)
+    axes[1].set_ylim(0, 1.1)
+    axes[1].axhline(0.8, color="r", ls=":", alpha=0.6)
+    fig.tight_layout()
+    fig.savefig(out, dpi=150)
+    print(f"wrote {out}")
+
+
+def plot_kernel(csv_path: str, out: str):
+    """Kernel-knob family: one bar per (kw, sk) point, grouped by kw —
+    the role of the reference's GPU threadblocks/SM, DP-memory and smem
+    carveout sweeps (profile.py:177-248): how the kernel's tiling knobs
+    move throughput at a fixed workload."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    rows = _read_csv(csv_path)
+    pts = sorted(((int(r["kw"]), int(r["sk"]), float(r["aligns/second"]))
+                  for r in rows))
+    labels = [f"kw={kw}\nsk={sk}" for kw, sk, _ in pts]
+    vals = [v for _, _, v in pts]
+    kws = sorted({kw for kw, _, _ in pts})
+    color = {kw: f"C{i}" for i, kw in enumerate(kws)}
+
+    fig, ax = plt.subplots(figsize=(max(6, 0.9 * len(pts)), 4))
+    ax.bar(range(len(pts)), vals, color=[color[kw] for kw, _, _ in pts])
+    best = max(range(len(pts)), key=lambda i: vals[i]) if pts else 0
+    if pts:
+        ax.bar([best], [vals[best]], color="C3",
+               label=f"best: {labels[best].replace(chr(10), ' ')}")
+        ax.legend()
+    ax.set_xticks(range(len(pts)), labels)
+    ax.set_ylabel("aligns/second")
+    ax.set_title("Pallas kernel knobs (windows/slab x sublane tile)")
+    ax.grid(alpha=0.3, axis="y")
+    fig.tight_layout()
+    fig.savefig(out, dpi=150)
+    print(f"wrote {out}")
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     p.add_argument("kind",
                    choices=["throughput", "accuracy", "roofline", "asic",
-                            "groundtruth", "baselines", "representative"])
+                            "groundtruth", "baselines", "representative",
+                            "scaling", "kernel"])
     p.add_argument("--csv", required=True,
                    help="input CSV (device CSV for accuracy)")
     p.add_argument("--exact_csv", help="exact-baseline CSV (accuracy only)")
@@ -311,6 +399,10 @@ def main(argv=None) -> int:
         if not args.baselines_csv:
             p.error("--baselines_csv required for representative plots")
         plot_representative(args.csv, args.baselines_csv, args.out)
+    elif args.kind == "scaling":
+        plot_scaling(args.csv, args.out)
+    elif args.kind == "kernel":
+        plot_kernel(args.csv, args.out)
     else:
         plot_asic(args.csv, args.out)
     return 0
