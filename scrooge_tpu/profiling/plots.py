@@ -81,21 +81,29 @@ def plot_throughput(csv_path: str, out: str, x_axis: str = "W"):
 
 
 def plot_accuracy(device_csv: str, exact_csv: str, out: str):
+    """Score-distribution family: per-pair affine scores of the device
+    engine across W against every baseline algorithm in the baselines
+    CSV (one box per algorithm column value — the reference compares
+    genasm vs each of its vendored baselines the same way)."""
     import matplotlib
 
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
     dev = _read_csv(device_csv)
-    exact = _read_csv(exact_csv)
+    base = _read_csv(exact_csv)
     by_w: Dict[int, List[int]] = defaultdict(list)
     for r in dev:
         by_w[int(r["W"])].append(int(r["score"]))
-    exact_scores = [int(r["score"]) for r in exact]
+    by_alg: Dict[str, List[int]] = defaultdict(list)
+    for r in base:
+        by_alg[r.get("algorithm", "exact")].append(int(r["score"]))
+    algs = sorted(by_alg, key=lambda a: (a != "exact", a))
 
-    fig, ax = plt.subplots(figsize=(6, 4))
-    data = [exact_scores] + [by_w[w] for w in sorted(by_w)]
-    labels = ["exact"] + [f"W={w}" for w in sorted(by_w)]
+    fig, ax = plt.subplots(figsize=(max(6, 0.8 * (len(algs) + len(by_w))),
+                                    4))
+    data = [by_alg[a] for a in algs] + [by_w[w] for w in sorted(by_w)]
+    labels = algs + [f"W={w}" for w in sorted(by_w)]
     ax.boxplot(data, tick_labels=labels, showfliers=False)
     ax.set_ylabel("affine-gap score")
     ax.set_title("Alignment score distribution vs exact baseline")
@@ -175,10 +183,14 @@ def plot_asic(csv_path: str, out: str):
     print(f"wrote {out}")
 
 
-def plot_groundtruth(csv_path: str, out: str):
+def plot_groundtruth(csv_path: str, out: str,
+                     baselines_csv: str = None):
     """Ground-truth accuracy family (plot.py:2724-2952): the fraction of
     PBSIM2-MAF matched bases each CIGAR reproduces, vs the window size W.
-    Mean curve with a 5th-95th percentile band over pairs."""
+    Mean curve with a 5th-95th percentile band over pairs; when a
+    groundtruth_baselines CSV is given, each baseline's mean fraction is
+    drawn as a dashed reference line (the reference plots genasm against
+    its vendored baselines on the same axis)."""
     import matplotlib
 
     matplotlib.use("Agg")
@@ -200,6 +212,13 @@ def plot_groundtruth(csv_path: str, out: str):
     fig, ax = plt.subplots(figsize=(6, 4))
     ax.fill_between(ws, lo, hi, alpha=0.2, label="5th-95th pct")
     ax.plot(ws, means, marker="o", label="mean")
+    if baselines_csv:
+        by_alg: Dict[str, List[float]] = defaultdict(list)
+        for r in _read_csv(baselines_csv):
+            by_alg[r["algorithm"]].append(float(r["correct_fraction"]))
+        for i, (alg, vals) in enumerate(sorted(by_alg.items())):
+            ax.axhline(sum(vals) / len(vals), ls="--", lw=1,
+                       color=f"C{i + 1}", label=alg)
     ax.set_xlabel("W")
     ax.set_ylabel("fraction of ground-truth bases aligned correctly")
     ax.set_title("Accuracy vs ground truth")
@@ -392,7 +411,7 @@ def main(argv=None) -> int:
     elif args.kind == "roofline":
         plot_roofline(args.csv, args.out)
     elif args.kind == "groundtruth":
-        plot_groundtruth(args.csv, args.out)
+        plot_groundtruth(args.csv, args.out, args.baselines_csv)
     elif args.kind == "baselines":
         plot_baselines(args.csv, args.out)
     elif args.kind == "representative":

@@ -36,7 +36,6 @@ from pathlib import Path
 from typing import List, Optional
 
 from .. import api
-from ..baselines import exact_semiglobal
 from ..cigar import affine_score
 from ..config import AlignConfig
 
@@ -329,23 +328,80 @@ def groundtruth_accuracy(genome, reads, truth, out: Path,
                           "correct_fraction"])
 
 
-def exact_accuracy(genome, reads, out: Path, cigar: bool):
-    """Exact-aligner per-pair scores — the baseline column of the accuracy
-    comparison (the reference's edlib rows)."""
+def groundtruth_baselines(genome, reads, truth, out: Path,
+                          algorithms=None):
+    """Fraction of ground-truth matched bases each *baseline* aligns
+    identically — the baseline rows of the reference's ground-truth
+    accuracy comparison (plot.py:2724-2952 plots genasm against its
+    vendored baselines on the same axis).
+
+    CSV rows: algorithm, pair_idx, score, correct_fraction."""
+    from ..cli.baseline_cli import _align_with
+    from ..tools.cigar_tools import correctly_aligned_fraction
+
     scoring = dict(match=2, mismatch=4, gap_open=4, gap_extend=2)
+    algorithms = list(algorithms
+                      or ["exact", "affine", "banded", "wfa", "gact"])
     data: List = []
-    pair_idx = 0
-    for read in reads:
-        for loc in read.locations:
-            start = loc.start_in_reference
-            text = genome.content[start : start + 2 * len(read.content) + 64]
-            _, cg = exact_semiglobal(text, read.content)
-            score = affine_score(cg, **scoring)
-            row = ["exact", pair_idx, score] + ([cg] if cigar else [])
-            data.append(row)
-            pair_idx += 1
+    for alg in algorithms:
+        print(f"[{datetime.now()}] groundtruth_baselines {alg}",
+              file=sys.stderr)
+        try:
+            alns, _ = _align_with(alg, genome, reads, 2048)
+        except Exception as e:
+            print(f"{alg} failed ({e})", file=sys.stderr)
+            continue
+        pair_idx = 0
+        for ri, read in enumerate(reads):
+            ref_row, read_row = truth[ri]
+            for _loc in read.locations:
+                a = alns[pair_idx]
+                frac = correctly_aligned_fraction(a.cigar, ref_row,
+                                                  read_row)
+                data.append([alg, pair_idx,
+                             affine_score(a.cigar, **scoring),
+                             round(frac, 6)])
+                pair_idx += 1
+    csv_write(out, data,
+              ["algorithm", "pair_idx", "score", "correct_fraction"])
+
+
+def baselines_accuracy(genome, reads, out: Path, cigar: bool,
+                       algorithms=None):
+    """Per-pair affine scores for every first-party baseline — the
+    reference's accuracy_baselines driver (cpu_baseline.cpp:784-875),
+    which dumps pair_idx/score(/cigar) rows per algorithm for the
+    score-distribution comparison figures."""
+    from ..cli.baseline_cli import _align_with
+
+    scoring = dict(match=2, mismatch=4, gap_open=4, gap_extend=2)
+    algorithms = list(algorithms
+                      or ["exact", "affine", "banded", "wfa", "gact"])
+    data: List = []
+    for alg in algorithms:
+        print(f"[{datetime.now()}] baselines_accuracy {alg}",
+              file=sys.stderr)
+        try:
+            alns, _ = _align_with(alg, genome, reads, 2048)
+        except Exception as e:
+            print(f"{alg} failed ({e})", file=sys.stderr)
+            continue
+        pair_idx = 0
+        for read in reads:
+            for _loc in read.locations:
+                a = alns[pair_idx]
+                score = affine_score(a.cigar, **scoring)
+                row = [alg, pair_idx, score] + ([a.cigar] if cigar else [])
+                data.append(row)
+                pair_idx += 1
     header = ["algorithm", "pair_idx", "score"] + (["cigar"] if cigar else [])
     csv_write(out, data, header)
+
+
+def exact_accuracy(genome, reads, out: Path, cigar: bool):
+    """Exact-aligner-only rows (the reference's edlib gold-standard
+    column); kept for the recorded round-1 artifacts' schema."""
+    baselines_accuracy(genome, reads, out, cigar, algorithms=["exact"])
 
 
 def main(argv: Optional[List[str]] = None) -> int:
@@ -385,6 +441,9 @@ def main(argv: Optional[List[str]] = None) -> int:
                              out / f"{name}_groundtruth_accuracy.csv",
                              args.max_experiments, "auto", args.batch_tile,
                              args.max_W)
+        few = list(reads)[: args.baseline_pairs]
+        groundtruth_baselines(genome, few, truth[: len(few)],
+                              out / f"{name}_groundtruth_baselines.csv")
     elif args.target == "baselines":
         sweep_baselines(genome, reads, out / f"{name}_baselines.csv",
                         args.batch_tile, args.baseline_pairs)
@@ -408,8 +467,9 @@ def main(argv: Optional[List[str]] = None) -> int:
                        out / f"{name}_accuracy_sweep_wo{cig}.csv",
                        args.max_experiments, args.cigar, "auto",
                        args.batch_tile, args.max_W)
-        exact_accuracy(genome, reads,
-                       out / f"{name}_exact_accuracy{cig}.csv", args.cigar)
+        baselines_accuracy(genome, reads,
+                           out / f"{name}_baselines_accuracy{cig}.csv",
+                           args.cigar)
     return 0
 
 

@@ -54,13 +54,18 @@ def test_accuracy_sweep_and_plots(tmp_path):
                  "--cigar", "--max_W", "32"])
     assert proc.returncode == 0, proc.stderr[-2000:]
     acc = out / "simulated_64_200_accuracy_sweep_wo_cigar.csv"
-    exact = out / "simulated_64_200_exact_accuracy_cigar.csv"
-    assert acc.exists() and exact.exists()
+    base = out / "simulated_64_200_baselines_accuracy_cigar.csv"
+    assert acc.exists() and base.exists()
+    with open(base) as f:
+        algs = {row[0] for row in list(csv.reader(f))[1:]}
+    # every first-party baseline contributed rows (accuracy_baselines
+    # parity, cpu_baseline.cpp:784-875)
+    assert {"exact", "affine", "banded", "wfa", "gact"} <= algs
 
     from scrooge_tpu.profiling import plots
 
     fig = tmp_path / "acc.png"
-    plots.plot_accuracy(str(acc), str(exact), str(fig))
+    plots.plot_accuracy(str(acc), str(base), str(fig))
     assert fig.exists() and fig.stat().st_size > 0
 
     # cigar inspection on the same CSV
@@ -90,3 +95,29 @@ def test_asic_sweep_csv_and_plot(tmp_path):
     fig = tmp_path / "asic.png"
     plots.plot_asic(str(tmp_path / "asic.csv"), str(fig))
     assert fig.exists()
+
+
+def test_groundtruth_sweep_with_baselines(tmp_path):
+    out = tmp_path / "profile"
+    proc = _run(["scrooge_tpu.profiling.sweep", "groundtruth",
+                 "simulated:8:200", "--profile_dir", str(out),
+                 "--max_experiments", "1", "--batch_tile", "128",
+                 "--max_W", "32", "--baseline_pairs", "4"])
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    dev = out / "simulated_8_200_groundtruth_accuracy.csv"
+    base = out / "simulated_8_200_groundtruth_baselines.csv"
+    assert dev.exists() and base.exists()
+    with open(base) as f:
+        rows = list(csv.reader(f))[1:]
+    algs = {r[0] for r in rows}
+    assert {"exact", "affine", "banded", "wfa", "gact"} <= algs
+    # the exact aligner reproduces nearly all ground-truth bases on a
+    # clean simulated dataset
+    exact_fracs = [float(r[3]) for r in rows if r[0] == "exact"]
+    assert sum(exact_fracs) / len(exact_fracs) > 0.85
+
+    from scrooge_tpu.profiling import plots
+
+    fig = tmp_path / "gt.png"
+    plots.plot_groundtruth(str(dev), str(fig), str(base))
+    assert fig.exists() and fig.stat().st_size > 0
