@@ -16,6 +16,8 @@ the comparison roles those baselines play:
  - ``wfa_global`` / ``wfa_semiglobal`` / ``wfa_distance`` (re-exported
    from wfa.py): first-party exact wavefront aligner — the wfa_exact and
    low-memory wfa_lm roles (cpu_baseline.cpp:487-549, :387-438).
+ - ``local_affine``: exact local Smith-Waterman-Gotoh (the CUDASW++
+   role — the one vendored baseline with a *local* target function).
  - ``edlib_semiglobal``: optional cross-check through the third-party
    `edlib` PyPI package when it is installed (tests skip otherwise).
 
@@ -394,6 +396,85 @@ def edlib_semiglobal(text: str, query: str) -> int:
         return 0
     r = edlib.align(query, text, mode="SHW", task="distance")
     return int(r["editDistance"])
+
+
+def local_affine(text: str, query: str, match: int = 2, mismatch: int = 4,
+                 gap_open: int = 4, gap_extend: int = 2
+                 ) -> Tuple[int, str, int, int]:
+    """Exact local affine-gap alignment (Smith-Waterman-Gotoh) — the role
+    the CUDASW++ GPU baseline plays in the reference (profile.py:379-444
+    drives it for throughput; it is the one vendored baseline whose
+    target function is *local*, not semiglobal). Row-vectorized numpy.
+
+    Returns (score, extended CIGAR of the local segment, query_start,
+    text_start). The CIGAR covers only the aligned segment (local
+    semantics) — it is not a semiglobal CIGAR and is not fed to the
+    semiglobal validators.
+    """
+    n, m = len(text), len(query)
+    if m == 0 or n == 0:
+        return 0, "", 0, 0
+    t = np.frombuffer(text.encode(), np.uint8)
+    q = np.frombuffer(query.encode(), np.uint8)
+
+    NEG = np.int64(-(1 << 40))
+    jj = np.arange(n + 1, dtype=np.int64)
+    H = np.zeros((m + 1, n + 1), np.int64)
+    E = np.full((m + 1, n + 1), NEG, np.int64)  # gap in query (D ops)
+    F = np.full((m + 1, n + 1), NEG, np.int64)  # gap in text (I ops)
+    for i in range(1, m + 1):
+        F[i, 1:] = np.maximum(H[i - 1, 1:] - gap_open - gap_extend,
+                              F[i - 1, 1:] - gap_extend)
+        diag = np.where(t == q[i - 1], match, -mismatch) + H[i - 1, :-1]
+        h_no_e = np.maximum.reduce(
+            [diag, F[i, 1:], np.zeros(n, np.int64)])
+        # E[i, j] = max_{k<j} h_no_e-ish chain; same prefix-scan trick as
+        # affine_semiglobal but with the local zero floor already folded
+        # into h_no_e
+        a = np.concatenate(([np.int64(0)], h_no_e))
+        u = np.maximum.accumulate(a + gap_extend * jj)
+        E[i, 1:] = u[:-1] - gap_open - gap_extend * jj[1:]
+        H[i, 1:] = np.maximum(h_no_e, E[i, 1:])
+
+    i, j = np.unravel_index(int(np.argmax(H)), H.shape)
+    score = int(H[i, j])
+    if score == 0:
+        return 0, "", 0, 0
+
+    runs = []
+
+    def emit(op):
+        if runs and runs[-1][1] == op:
+            runs[-1][0] += 1
+        else:
+            runs.append([1, op])
+
+    state = "H"
+    while H[i, j] != 0 or state != "H":
+        if state == "H":
+            if H[i, j] == E[i, j]:
+                state = "E"
+            elif H[i, j] == F[i, j]:
+                state = "F"
+            else:
+                emit("=" if t[j - 1] == q[i - 1] else "X")
+                i, j = i - 1, j - 1
+        elif state == "E":
+            emit("D")
+            if E[i, j] == E[i, j - 1] - gap_extend:
+                j -= 1
+            else:
+                j -= 1
+                state = "H"
+        else:  # F
+            emit("I")
+            if F[i, j] == F[i - 1, j] - gap_extend:
+                i -= 1
+            else:
+                i -= 1
+                state = "H"
+    cigar = "".join(f"{c}{op}" for c, op in reversed(runs))
+    return score, cigar, int(i), int(j)
 
 
 from .wfa import wfa_distance, wfa_global, wfa_semiglobal  # noqa: E402,F401

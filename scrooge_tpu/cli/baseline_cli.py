@@ -17,6 +17,9 @@ with this framework's algorithm set:
                    role, cpu_baseline.cpp:387-438; perf-only, no CIGAR —
                    the reference has no wfa_lm accuracy adapter either)
   gact           — GACT-tiling aligner (the Darwin custom-GACT role)
+  sw             — exact local Smith-Waterman-Gotoh (the CUDASW++ role,
+                   profile.py:379-444; local segment CIGAR, scores are
+                   local-alignment scores)
 
 Output formats are API (scraped by sweep tooling, profile.py:293 regex):
   "<algorithm>: <N.NN> aligns/second"
@@ -44,7 +47,7 @@ Options:
 --reads=[path to reads FASTQ]         -- override default reads data for performance test
 --seeds=[path to MAF or PAF]          -- override default seeds data for performance test
 --threads=[TILE[,MORE_TILES]]         -- run benchmarks with the given list of batch tiles (lanes) default:2048
---algorithms=[ALGORITHM[,MORE ALGORITHMS]] -- run only the specified algorithms, supported are: genasm_device, genasm_xla, genasm_pyref, exact, affine, banded, wfa, wfa_lm, gact
+--algorithms=[ALGORITHM[,MORE ALGORITHMS]] -- run only the specified algorithms, supported are: genasm_device, genasm_xla, genasm_pyref, exact, affine, banded, wfa, wfa_lm, gact, sw
 --scoring=[MAT],[SUB],[GAPO],[GAPE]   -- set affine gap model scoring function, all values should be positive default:2,4,4,2
 --simulated=[N[,LEN]]                 -- use a built-in simulated dataset instead of files
 --verbose                             -- print progress to stderr. Otherwise, only benchmark results are printed
@@ -57,7 +60,7 @@ ALLOWED = ["--reference", "--reads", "--seeds", "--threads", "--algorithms",
            "--scoring", "--simulated", "--verbose", "--accuracy", "--cigar",
            "--help"]
 ALL_ALGS = ["genasm_device", "genasm_xla", "genasm_pyref", "exact",
-            "affine", "banded", "wfa", "wfa_lm", "gact"]
+            "affine", "banded", "wfa", "wfa_lm", "gact", "sw"]
 
 
 def _load(args):
@@ -81,7 +84,8 @@ def _load(args):
 
 
 def _align_with(alg: str, genome, reads, tile: int):
-    if alg in ("exact", "affine", "banded", "wfa", "wfa_lm", "gact"):
+    if alg in ("exact", "affine", "banded", "wfa", "wfa_lm", "gact",
+               "sw"):
         out: List[Alignment] = []
         t0 = time.perf_counter_ns()
         for read in reads:
@@ -110,6 +114,12 @@ def _align_with(alg: str, genome, reads, tile: int):
                     ed = wfa_distance(text, read.content,
                                       semiglobal=False)
                     cg = ""
+                elif alg == "sw":
+                    from ..baselines import local_affine
+                    from ..cigar import edits_in_cigar
+
+                    _, cg, _, _ = local_affine(text, read.content)
+                    ed = edits_in_cigar(cg)
                 elif alg == "gact":
                     from ..baselines import gact_tiled
                     from ..cigar import edits_in_cigar

@@ -260,12 +260,12 @@ def sweep_baselines(genome, reads, out: Path, batch: int,
 
     algorithms = algorithms or ["genasm_device", "genasm_xla", "exact",
                                 "affine", "banded", "wfa", "wfa_lm",
-                                "gact"]
+                                "gact", "sw"]
     few = list(reads)[: baseline_pairs]
     data: List = []
     for alg in algorithms:
         subset = few if alg in ("exact", "affine", "banded", "wfa",
-                                "wfa_lm", "gact",
+                                "wfa_lm", "gact", "sw",
                                 "genasm_pyref") else reads
         print(f"[{datetime.now()}] baselines {alg} ({len(subset)} reads)",
               file=sys.stderr)

@@ -267,3 +267,61 @@ def test_wfa_semiglobal_unit_penalties_is_edit_distance():
     for t, q in _cases(44, 30):
         pen, _ = wfa_semiglobal(t, q, x=1, o=0, e=1)
         assert pen == _brute_semiglobal(t, q)
+
+
+def _brute_local_affine(t, q, mat=2, mis=4, go=4, ge=2):
+    n, m = len(t), len(q)
+    NEG = -(10**9)
+    H = [[0] * (n + 1) for _ in range(m + 1)]
+    E = [[NEG] * (n + 1) for _ in range(m + 1)]
+    F = [[NEG] * (n + 1) for _ in range(m + 1)]
+    best = 0
+    for i in range(1, m + 1):
+        for j in range(1, n + 1):
+            E[i][j] = max(E[i][j - 1] - ge, H[i][j - 1] - go - ge)
+            F[i][j] = max(F[i - 1][j] - ge, H[i - 1][j] - go - ge)
+            d = H[i - 1][j - 1] + (mat if t[j - 1] == q[i - 1] else -mis)
+            H[i][j] = max(0, d, E[i][j], F[i][j])
+            best = max(best, H[i][j])
+    return best
+
+
+def test_local_affine_matches_bruteforce():
+    """local_affine (the CUDASW++ local-alignment role) is exact, and its
+    segment CIGAR rescoring equals the optimal local score."""
+    from scrooge_tpu.baselines import local_affine
+    from scrooge_tpu.cigar import parse_cigar
+
+    rng = random.Random(9)
+    for trial in range(40):
+        n = rng.randrange(0, 50)
+        t = "".join(rng.choice("ACGT") for _ in range(n))
+        if rng.random() < 0.5 and n > 5:
+            q = "".join(c if rng.random() > 0.15 else rng.choice("ACGT")
+                        for c in t[rng.randrange(n // 2):])
+        else:
+            q = "".join(rng.choice("ACGT")
+                        for _ in range(rng.randrange(0, 50)))
+        score, cigar, qs, ts = local_affine(t, q)
+        assert score == _brute_local_affine(t, q), (t, q)
+        if not cigar:
+            continue
+        s, i, j = 0, qs, ts
+        for cnt, op in parse_cigar(cigar):
+            if op == "=":
+                for _ in range(cnt):
+                    assert q[i] == t[j]
+                    i, j = i + 1, j + 1
+                s += 2 * cnt
+            elif op == "X":
+                for _ in range(cnt):
+                    assert q[i] != t[j]
+                    i, j = i + 1, j + 1
+                s -= 4 * cnt
+            else:
+                s -= 4 + 2 * cnt
+                if op == "I":
+                    i += cnt
+                else:
+                    j += cnt
+        assert s == score, (t, q, cigar)
