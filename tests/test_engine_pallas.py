@@ -6,6 +6,7 @@ Mosaic kernel; elsewhere it runs in Pallas interpreter mode — same code,
 same outputs, slower, so the cases here stay small.
 """
 
+import os
 import random
 
 import jax.numpy as jnp
@@ -323,3 +324,33 @@ def test_single_leader_does_not_fail_batch():
     failed = np.asarray(rp.failed)
     # the insertion-rich pack must survive regardless of lane 0
     assert int((failed[1:] != 0).sum()) == 0, int((failed[1:] != 0).sum())
+
+
+@pytest.mark.skipif(not os.environ.get("SCROOGE_SLOW_TESTS"),
+                    reason="~2.5 min interpreted; run with "
+                           "SCROOGE_SLOW_TESTS=1 (validated this round: "
+                           "equal=True, failed=0)")
+def test_w256_parity_interpreted():
+    """W=256 K=256 O=129 (the top of the reference's W-sweep range,
+    profile.py:65-82) on the Pallas engine in interpreter mode:
+    bit-identical edit distances to the XLA engine, no failed lanes.
+    Mosaic compilation of this config is validated separately on
+    hardware (tools/tpu_queue.sh step 2)."""
+    cfg = _AC(W=256, K=256, O=129, batch_tile=128)
+    B, rl, tl = 128, 220, 320
+    rng = np.random.default_rng(7)
+    text = rng.integers(0, 4, (B, tl), dtype=np.uint8)
+    pattern = np.where(rng.random((B, rl)) < 0.08,
+                       rng.integers(0, 4, (B, rl), dtype=np.uint8),
+                       text[:, :rl]).astype(np.uint8)
+    tlen = np.full(B, tl, np.int32)
+    plen = np.full(B, rl, np.int32)
+    maxw = cfg.max_windows(rl)
+    sk, kw = engine_pallas.choose_kernel_shape(cfg, B // 128)
+    rp = engine_pallas.align_batch(
+        cfg, maxw, sk, kw, engine_pallas.pack_2bit_host(text), tlen,
+        engine_pallas.pack_2bit_host(pattern), plen)
+    rx = engine_xla.align_batch(cfg, maxw, text, tlen, pattern, plen)
+    assert not np.asarray(rp.failed).any()
+    np.testing.assert_array_equal(np.asarray(rp.edit_distance),
+                                  np.asarray(rx.edit_distance))
