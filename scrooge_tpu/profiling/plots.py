@@ -184,7 +184,7 @@ def plot_asic(csv_path: str, out: str):
 
 
 def plot_groundtruth(csv_path: str, out: str,
-                     baselines_csv: str = None):
+                     baselines_csv: str = None, x_axis: str = "W"):
     """Ground-truth accuracy family (plot.py:2724-2952): the fraction of
     PBSIM2-MAF matched bases each CIGAR reproduces, vs the window size W.
     Mean curve with a 5th-95th percentile band over pairs; when a
@@ -199,7 +199,7 @@ def plot_groundtruth(csv_path: str, out: str,
     rows = _read_csv(csv_path)
     by_w: Dict[int, List[float]] = defaultdict(list)
     for r in rows:
-        by_w[int(float(r["W"]))].append(float(r["correct_fraction"]))
+        by_w[int(float(r[x_axis]))].append(float(r["correct_fraction"]))
     ws = sorted(by_w)
 
     def pct(v, p):
@@ -219,7 +219,7 @@ def plot_groundtruth(csv_path: str, out: str,
         for i, (alg, vals) in enumerate(sorted(by_alg.items())):
             ax.axhline(sum(vals) / len(vals), ls="--", lw=1,
                        color=f"C{i + 1}", label=alg)
-    ax.set_xlabel("W")
+    ax.set_xlabel(x_axis)
     ax.set_ylabel("fraction of ground-truth bases aligned correctly")
     ax.set_title("Accuracy vs ground truth")
     ax.set_ylim(min(lo + [0.9]), 1.001)
@@ -411,7 +411,7 @@ def main(argv=None) -> int:
     elif args.kind == "roofline":
         plot_roofline(args.csv, args.out)
     elif args.kind == "groundtruth":
-        plot_groundtruth(args.csv, args.out, args.baselines_csv)
+        plot_groundtruth(args.csv, args.out, args.baselines_csv, args.x)
     elif args.kind == "baselines":
         plot_baselines(args.csv, args.out)
     elif args.kind == "representative":

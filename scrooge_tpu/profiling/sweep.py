@@ -424,6 +424,12 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--batch_tile", type=int, default=2048)
     p.add_argument("--baseline_pairs", type=int, default=32)
     p.add_argument("--cigar", action="store_true")
+    p.add_argument("--Os", type=str, default=None,
+                   help="comma list of overlaps for the groundtruth "
+                        "target (the O axis of the reference's W/O "
+                        "accuracy trade-off, profile.py:588-645); "
+                        "combine with --override_W --max_W W "
+                        "--max_experiments 1 for a pure O sweep")
     args = p.parse_args(argv)
 
     if args.target == "groundtruth":
@@ -437,13 +443,18 @@ def main(argv: Optional[List[str]] = None) -> int:
     W = args.override_W or 64
 
     if args.target == "groundtruth":
+        os_list = ([int(x) for x in args.Os.split(",") if x]
+                   if args.Os else None)
+        suffix = "_O" if os_list else ""
         groundtruth_accuracy(genome, reads, truth,
-                             out / f"{name}_groundtruth_accuracy.csv",
+                             out / f"{name}_groundtruth_accuracy"
+                                   f"{suffix}.csv",
                              args.max_experiments, "auto", args.batch_tile,
-                             args.max_W)
+                             args.max_W, Os=os_list)
         few = list(reads)[: args.baseline_pairs]
-        groundtruth_baselines(genome, few, truth[: len(few)],
-                              out / f"{name}_groundtruth_baselines.csv")
+        if few:
+            groundtruth_baselines(genome, few, truth[: len(few)],
+                                  out / f"{name}_groundtruth_baselines.csv")
     elif args.target == "baselines":
         sweep_baselines(genome, reads, out / f"{name}_baselines.csv",
                         args.batch_tile, args.baseline_pairs)
