@@ -21,6 +21,15 @@ behavior), vectorized where it matters:
    single-chromosome genomes use the chromosome-local start directly).
  - read_fastq_and_seed_locations: util.cpp:303-336 (join by description;
    unknown read descriptions raise instead of exit(1)).
+
+Native C++ FASTA/FASTQ parsers exist too (native/io_parsers.cpp, the
+reference's C++ I/O role), byte-identical to the parsers below
+(tests/test_native.py) and opt-in via SCROOGE_NATIVE_IO=1. They are NOT
+the default on purpose, with measurements: the raw native scan runs at
+~1 GB/s, but CPython's readline loop already parses at 0.1-0.8 GB/s and
+the List[Read]/List[Sequence] object contract dominates wall time either
+way (~2.6 us/record), so the native path ties at best on this contract
+(60 MB, 190k 150 bp reads: python 0.55 s vs native 0.62 s end-to-end).
 """
 
 from __future__ import annotations
@@ -31,7 +40,17 @@ from typing import Dict, List, Optional, Sequence as Seq
 from .datamodel import CandidateLocation, Genome, Read, Sequence
 
 
+def _native_io_enabled() -> bool:
+    return os.environ.get("SCROOGE_NATIVE_IO", "0") == "1"
+
+
 def read_fasta(path: str | os.PathLike) -> List[Sequence]:
+    if _native_io_enabled():
+        from . import native
+
+        out = native.parse_fasta(path)
+        if out is not None:
+            return out
     sequences: List[Sequence] = []
     desc: Optional[str] = None
     parts: List[str] = []
@@ -63,6 +82,12 @@ def read_genome(path: str | os.PathLike) -> Genome:
 
 
 def read_fastq(path: str | os.PathLike) -> List[Read]:
+    if _native_io_enabled():
+        from . import native
+
+        out = native.parse_fastq(path)
+        if out is not None:
+            return out
     reads: List[Read] = []
     with open(path, "r") as f:
         while True:

@@ -26,18 +26,22 @@ _lib = None
 _tried = False
 
 
-def _build() -> Optional[str]:
-    if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
-        return _SO
+def _build_one(src: str, so: str) -> Optional[str]:
+    if os.path.exists(so) and os.path.getmtime(so) >= os.path.getmtime(src):
+        return so
     try:
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o",
-             _SO + ".tmp"],
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", src, "-o",
+             so + ".tmp"],
             check=True, capture_output=True, timeout=120)
-        os.replace(_SO + ".tmp", _SO)
-        return _SO
+        os.replace(so + ".tmp", so)
+        return so
     except (OSError, subprocess.SubprocessError):
         return None
+
+
+def _build() -> Optional[str]:
+    return _build_one(_SRC, _SO)
 
 
 def get_lib():
@@ -181,4 +185,113 @@ def affine_scores(entries: np.ndarray, totals: np.ndarray,
     out = np.empty(B, np.int64)
     lib.affine_scores(entries.ctypes.data, cap, B, totals.ctypes.data,
                       match, mismatch, gap_open, gap_extend, out.ctypes.data)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Native file parsers (io_parsers.cpp) — the reference's C++ I/O layer role
+# (util.cpp:45-157). scrooge_tpu.io tries these first and falls back to
+# its pure-Python parsers (identical semantics, pinned by tests).
+
+_SRC_IO = os.path.join(_DIR, "io_parsers.cpp")
+_SO_IO = os.path.join(_DIR, "_io_parsers.so")
+_io_lib = None
+_io_tried = False
+
+
+def get_io_lib():
+    global _io_lib, _io_tried
+    with _lock:
+        if _io_tried:
+            return _io_lib
+        _io_tried = True
+        path = _build_one(_SRC_IO, _SO_IO)
+        if path is None:
+            return None
+        lib = ctypes.CDLL(path)
+        for fn in (lib.fasta_parse, lib.fastq_parse):
+            fn.restype = ctypes.c_int64
+            fn.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+                           ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                           ctypes.c_int64]
+        _io_lib = lib
+        return _io_lib
+
+
+def _read_file_bytes(path) -> bytes:
+    with open(path, "rb") as f:
+        return f.read()
+
+
+def parse_fasta(path):
+    """FASTA sequences via the native parser, or None if unavailable.
+    Byte-identical to io.read_fasta's Python parsing (pinned in
+    tests/test_native.py). Two native passes: count, then fill."""
+    lib = get_io_lib()
+    if lib is None:
+        return None
+    from ..datamodel import Sequence
+
+    raw = _read_file_bytes(path)
+    n = len(raw)
+    if n == 0:
+        return []
+    buf = np.frombuffer(raw, np.uint8)
+    cap = int(lib.fasta_parse(buf.ctypes.data, n, None, None, None, None, 0))
+    if cap == 0:
+        return []
+    content = np.empty(n, np.uint8)
+    cends = np.empty(cap, np.int64)
+    dstarts = np.empty(cap, np.int64)
+    dends = np.empty(cap, np.int64)
+    cnt = lib.fasta_parse(buf.ctypes.data, n, content.ctypes.data,
+                          cends.ctypes.data, dstarts.ctypes.data,
+                          dends.ctypes.data, cap)
+    if cnt < 0:
+        return None
+    cstr = content[: int(cends[cnt - 1])].tobytes().decode("ascii")
+    rstr = raw.decode("latin-1")  # offsets into the raw image
+    ce = cends[:cnt].tolist()
+    ds = dstarts[:cnt].tolist()
+    de = dends[:cnt].tolist()
+    out, prev = [], 0
+    for i in range(cnt):
+        out.append(Sequence(rstr[ds[i] : de[i]], cstr[prev : ce[i]]))
+        prev = ce[i]
+    return out
+
+
+def parse_fastq(path):
+    """FASTQ reads via the native parser, or None if unavailable."""
+    lib = get_io_lib()
+    if lib is None:
+        return None
+    from ..datamodel import Read
+
+    raw = _read_file_bytes(path)
+    n = len(raw)
+    if n == 0:
+        return []
+    buf = np.frombuffer(raw, np.uint8)
+    cap = int(lib.fastq_parse(buf.ctypes.data, n, None, None, None, None, 0))
+    if cap == 0:
+        return []
+    content = np.empty(n, np.uint8)
+    cends = np.empty(cap, np.int64)
+    descs = np.empty(n, np.uint8)
+    dends = np.empty(cap, np.int64)
+    cnt = lib.fastq_parse(buf.ctypes.data, n, content.ctypes.data,
+                          cends.ctypes.data, descs.ctypes.data,
+                          dends.ctypes.data, cap)
+    if cnt < 0:
+        return None
+    cstr = content[: int(cends[cnt - 1])].tobytes().decode("ascii")
+    dstr = descs[: int(dends[cnt - 1])].tobytes().decode("ascii")
+    ce = cends[:cnt].tolist()
+    de = dends[:cnt].tolist()
+    out, cprev, dprev = [], 0, 0
+    for i in range(cnt):
+        out.append(Read(description=dstr[dprev : de[i]],
+                        content=cstr[cprev : ce[i]]))
+        cprev, dprev = ce[i], de[i]
     return out

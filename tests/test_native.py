@@ -47,3 +47,92 @@ def test_affine_scores_matches_python(lib):
     for cigars in entries_to_cigars(entries, totals):
         want.append(affine_score(cigars) if cigars else 0)
     assert got.tolist() == want
+
+
+@pytest.fixture
+def io_lib():
+    lib = native.get_io_lib()
+    if lib is None:
+        pytest.skip("no C++ compiler for the native io parsers")
+    return lib
+
+
+_FASTA = (
+    "junk before header\n"
+    ">chr1 with spaces in desc\r\n"
+    "ACGT ACGT\n"
+    "\n"
+    "TT\r\n"
+    ">chr2\n"
+    "GG GG"  # no trailing newline
+)
+_FASTQ = (
+    "@read1 x\r\n"
+    "ACGTACGT\r\n"
+    "+\n"
+    "@@@@@@@@\n"  # quality line starting with '@' must not resync
+    "stray line\n"
+    "  @read2\n"  # header with leading whitespace
+    " ACGT \n"    # content with surrounding whitespace
+    "+\n"
+    "!!!!\n"
+    "@read3\n"
+    "AC"          # truncated record at EOF
+)
+
+
+def test_native_fasta_parser_matches_python(io_lib, tmp_path, monkeypatch):
+    """native/io_parsers.cpp (the reference's C++ I/O role,
+    util.cpp:45-108) is byte-identical to the Python parser on
+    adversarial input: CRLF, in-line spaces, leading junk, empty lines,
+    missing trailing newline."""
+    monkeypatch.setenv("SCROOGE_NATIVE_IO", "0")
+    from scrooge_tpu import io as sio
+
+    p = tmp_path / "t.fasta"
+    p.write_text(_FASTA)
+    py = [(s.description, s.content) for s in sio.read_fasta(p)]
+    nat = [(s.description, s.content) for s in native.parse_fasta(p)]
+    assert py == nat
+    assert py[0] == ("chr1 with spaces in desc", "ACGTACGTTT")
+    # empty file
+    p2 = tmp_path / "e.fasta"
+    p2.write_text("")
+    assert native.parse_fasta(p2) == []
+
+
+def test_native_fastq_parser_matches_python(io_lib, tmp_path, monkeypatch):
+    """util.cpp:110-157 role: 4-line records, '@'-leading quality lines,
+    stray lines, whitespace trims, truncated tail record."""
+    monkeypatch.setenv("SCROOGE_NATIVE_IO", "0")
+    from scrooge_tpu import io as sio
+
+    p = tmp_path / "t.fastq"
+    p.write_text(_FASTQ)
+    py = [(r.description, r.content) for r in sio.read_fastq(p)]
+    nat = [(r.description, r.content) for r in native.parse_fastq(p)]
+    assert py == nat
+    assert nat == [("read1x", "ACGTACGT"), ("read2", "ACGT"),
+                   ("read3", "AC")]
+
+
+def test_native_io_end_to_end_on_dataset(io_lib, tmp_path, monkeypatch):
+    """Opt-in native IO (SCROOGE_NATIVE_IO=1) loads a written dataset
+    identically to the Python parsers."""
+    from scrooge_tpu import io as sio
+    from scrooge_tpu.utils.simulate import simulate_dataset, write_dataset
+
+    ds = simulate_dataset(genome_len=20_000, num_reads=12, read_len=300,
+                          accuracy=0.95, seed=5)
+    write_dataset(ds, tmp_path / "ds")
+
+    monkeypatch.setenv("SCROOGE_NATIVE_IO", "0")
+    g_py, reads_py = sio.load_dataset(tmp_path / "ds")
+    monkeypatch.setenv("SCROOGE_NATIVE_IO", "1")
+    g_nat, reads_nat = sio.load_dataset(tmp_path / "ds")
+    assert g_py.content == g_nat.content
+    assert g_py.chromosome_starts == g_nat.chromosome_starts
+    assert [(r.description, r.content) for r in reads_py] == \
+           [(r.description, r.content) for r in reads_nat]
+    assert all(len(r.locations) == len(p.locations)
+               for r, p in zip(reads_nat, reads_py))
