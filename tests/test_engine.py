@@ -210,3 +210,24 @@ def test_multi_tile_pipeline_parity():
         genome, reads, config=AlignConfig(backend="xla", batch_tile=512))
     assert [(a.edit_distance, a.cigar) for a in got_r] == \
         [(a.edit_distance, a.cigar) for a in one_r]
+
+
+@pytest.mark.parametrize("wko", [(192, 192, 97), (256, 256, 129)])
+def test_engine_corpus_parity_large_w(wko):
+    """The large-W corpus configs (the top of the reference W-sweep,
+    profile.py:65-82) through the batched engine, bit-exact vs the
+    reference C++ outputs."""
+    W, K, O = wko
+    cfg = AlignConfig(W=W, K=K, O=O, backend="xla", batch_tile=128)
+    cases = []
+    with gzip.open(CORPUS, "rt") as f:
+        for line in f:
+            w, k, o, text, query, ed, cigar = line.rstrip("\n").split("\t")
+            if (int(w), int(k), int(o)) == wko and len(query) <= 800:
+                cases.append((text, query, int(ed), cigar))
+    assert len(cases) > 20
+    got = scrooge_tpu.align_all([c[0] for c in cases], [c[1] for c in cases],
+                                config=cfg)
+    for (text, query, ed, cigar), a in zip(cases, got):
+        assert a.edit_distance == ed, (W, len(text), len(query))
+        assert a.cigar == cigar, (W, len(text), len(query))

@@ -38,8 +38,13 @@ int main(){
 }
 """
 
-CONFIGS = [(64, 64, 33), (32, 32, 17), (128, 128, 65), (64, 64, 2),
-           (16, 16, 9), (64, 64, 48), (96, 96, 49)]
+# (W, K, O, n_cases, long_reads): the large-W configs (the top of the
+# reference W-sweep, profile.py:65-82, now on the Pallas fast path) get
+# smaller case sets — the scalar oracle costs O(K*W) bit-words per cell.
+CONFIGS = [(64, 64, 33, 60, 4), (32, 32, 17, 60, 4), (128, 128, 65, 60, 4),
+           (64, 64, 2, 60, 4), (16, 16, 9, 60, 4), (64, 64, 48, 60, 4),
+           (96, 96, 49, 60, 4), (192, 192, 97, 16, 1),
+           (256, 256, 129, 16, 1)]
 
 
 def mutate(seq, rng, rate):
@@ -57,7 +62,7 @@ def mutate(seq, rng, rate):
     return "".join(out)
 
 
-def gen_cases(rng, n_cases=60, long_reads=4):
+def gen_cases(rng, n_cases=60, long_reads=4, max_long=11000):
     cases = []
     for _ in range(n_cases):
         n = rng.randint(1, 400)
@@ -66,7 +71,7 @@ def gen_cases(rng, n_cases=60, long_reads=4):
         if q:
             cases.append((t, q))
     for _ in range(long_reads):
-        n = rng.randint(2000, 11000)
+        n = rng.randint(2000, max_long)
         t = "".join(rng.choice("ACGT") for _ in range(n))
         cases.append((t, mutate(t, rng, 0.07)))
     for _ in range(10):  # unrelated pairs
@@ -92,7 +97,7 @@ def main():
         hpath = os.path.join(tmp, "harness.cpp")
         with open(hpath, "w") as f:
             f.write(HARNESS)
-        for (W, K, O) in CONFIGS:
+        for (W, K, O, n_cases, long_reads) in CONFIGS:
             exe = os.path.join(tmp, f"ref_{W}_{K}_{O}")
             subprocess.run(
                 ["g++", "-O2", "-std=c++17", "-fopenmp", f"-I{src}",
@@ -102,7 +107,8 @@ def main():
                  os.path.join(src, "util.cpp"), "-o", exe],
                 check=True)
             rng = random.Random(W * 10007 + O)
-            cases = gen_cases(rng)
+            cases = gen_cases(rng, n_cases=n_cases, long_reads=long_reads,
+                              max_long=11000 if W <= 128 else 3000)
             # the reference's unstructured align_all returns every other
             # alignment (pair_idx double increment, genasm_cpu.cpp:600-604);
             # duplicate inputs so even indices cover all cases.
