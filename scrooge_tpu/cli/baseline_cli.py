@@ -179,6 +179,14 @@ def main(argv=None) -> int:
     if verbose:
         print(f"{len(reads)} reads", file=sys.stderr)
 
+    if accuracy and "wfa_lm" in algorithms:
+        # wfa_lm is penalty-only (no CIGAR): a fabricated score=0 row
+        # would be indistinguishable from a real score in the scraped
+        # format; the reference has no wfa_lm accuracy adapter either
+        print("wfa_lm skipped in --accuracy mode (no CIGAR)",
+              file=sys.stderr)
+        algorithms = [a for a in algorithms if a != "wfa_lm"]
+
     for tile in tiles:
         print(f"{tile} threads")
         for alg in algorithms:

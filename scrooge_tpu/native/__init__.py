@@ -218,9 +218,18 @@ def get_io_lib():
         return _io_lib
 
 
-def _read_file_bytes(path) -> bytes:
+def _read_file_bytes(path) -> Optional[bytes]:
+    """File image for the native parsers, or None for non-ASCII files.
+
+    The parsers index into the byte image; multi-byte characters would
+    break those offsets as str indices, so non-ASCII input (vanishingly
+    rare in FASTA/FASTQ) falls back to the Python parsers, which handle
+    it with ordinary text-mode semantics."""
     with open(path, "rb") as f:
-        return f.read()
+        raw = f.read()
+    if raw and int(np.frombuffer(raw, np.uint8).max()) >= 128:
+        return None
+    return raw
 
 
 def parse_fasta(path):
@@ -233,6 +242,8 @@ def parse_fasta(path):
     from ..datamodel import Sequence
 
     raw = _read_file_bytes(path)
+    if raw is None:
+        return None
     n = len(raw)
     if n == 0:
         return []
@@ -250,7 +261,7 @@ def parse_fasta(path):
     if cnt < 0:
         return None
     cstr = content[: int(cends[cnt - 1])].tobytes().decode("ascii")
-    rstr = raw.decode("latin-1")  # offsets into the raw image
+    rstr = raw.decode("ascii")  # ASCII guaranteed by _read_file_bytes
     ce = cends[:cnt].tolist()
     ds = dstarts[:cnt].tolist()
     de = dends[:cnt].tolist()
@@ -269,6 +280,8 @@ def parse_fastq(path):
     from ..datamodel import Read
 
     raw = _read_file_bytes(path)
+    if raw is None:
+        return None
     n = len(raw)
     if n == 0:
         return []

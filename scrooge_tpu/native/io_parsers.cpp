@@ -22,14 +22,20 @@ inline bool is_space(uint8_t c) {
          c == '\f';
 }
 
-// [line_start, line_end) excludes the trailing '\n' and '\r'
-// (python: line.rstrip("\r\n") on '\n'-split lines).
+// [line_start, line_end) excludes the line terminator. Universal
+// newlines like Python's text mode: '\n', '\r' and '\r\n' all end a
+// line (a lone '\r' is a break, not content).
 inline int64_t line_end(const uint8_t *buf, int64_t start, int64_t n,
                         int64_t *next) {
   int64_t e = start;
-  while (e < n && buf[e] != '\n') e++;
-  *next = (e < n) ? e + 1 : n;
-  while (e > start && buf[e - 1] == '\r') e--;
+  while (e < n && buf[e] != '\n' && buf[e] != '\r') e++;
+  if (e >= n) {
+    *next = n;
+  } else if (buf[e] == '\r' && e + 1 < n && buf[e + 1] == '\n') {
+    *next = e + 2;
+  } else {
+    *next = e + 1;
+  }
   return e;
 }
 

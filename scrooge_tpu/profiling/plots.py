@@ -106,7 +106,7 @@ def plot_accuracy(device_csv: str, exact_csv: str, out: str):
     labels = algs + [f"W={w}" for w in sorted(by_w)]
     ax.boxplot(data, tick_labels=labels, showfliers=False)
     ax.set_ylabel("affine-gap score")
-    ax.set_title("Alignment score distribution vs exact baseline")
+    ax.set_title("Score distributions: baselines vs device engine (by W)")
     ax.grid(alpha=0.3, axis="y")
     fig.tight_layout()
     fig.savefig(out, dpi=150)
@@ -323,21 +323,20 @@ def plot_scaling(csv_path: str, out: str):
         by_engine[r.get("engine", "xla")].append(r)
 
     fig, axes = plt.subplots(1, 2, figsize=(10, 4))
-    for eng, rs in sorted(by_engine.items()):
+    for i, (eng, rs) in enumerate(sorted(by_engine.items())):
         rs = sorted(rs, key=lambda r: int(r["devices"]))
         devs = [int(r["devices"]) for r in rs]
         axes[0].plot(devs, [float(r["aligns_per_second"]) for r in rs],
-                     marker="o", label=eng)
+                     marker="o", color=f"C{i}", label=eng)
+        # each engine gets its own linear reference, anchored at its
+        # first point (one shared anchor misleads with mixed engines)
+        base = float(rs[0]["aligns_per_second"])
+        axes[0].plot(devs, [base * d / devs[0] for d in devs], "--",
+                     color=f"C{i}", alpha=0.4,
+                     label="linear" if i == 0 else None)
         axes[1].plot(devs,
                      [float(r["weak_scaling_efficiency"]) for r in rs],
-                     marker="o", label=eng)
-    if by_engine:
-        rs = next(iter(sorted(by_engine.items())))[1]
-        devs = sorted(int(r["devices"]) for r in rs)
-        base = min(float(r["aligns_per_second"]) for r in rs
-                   if int(r["devices"]) == devs[0])
-        axes[0].plot(devs, [base * d / devs[0] for d in devs], "k--",
-                     alpha=0.5, label="linear")
+                     marker="o", color=f"C{i}", label=eng)
     for ax, ylab, title in ((axes[0], "aligns/second", "Throughput"),
                             (axes[1], "efficiency",
                              "Weak-scaling efficiency")):

@@ -398,10 +398,6 @@ def baselines_accuracy(genome, reads, out: Path, cigar: bool,
     csv_write(out, data, header)
 
 
-def exact_accuracy(genome, reads, out: Path, cigar: bool):
-    """Exact-aligner-only rows (the reference's edlib gold-standard
-    column); kept for the recorded round-1 artifacts' schema."""
-    baselines_accuracy(genome, reads, out, cigar, algorithms=["exact"])
 
 
 def main(argv: Optional[List[str]] = None) -> int:
@@ -451,8 +447,11 @@ def main(argv: Optional[List[str]] = None) -> int:
                                    f"{suffix}.csv",
                              args.max_experiments, "auto", args.batch_tile,
                              args.max_W, Os=os_list)
+        # the baselines have no W/O dependence: skip them on --Os
+        # O-sweeps (the W-sweep run already recorded them) and when
+        # --baseline_pairs=0
         few = list(reads)[: args.baseline_pairs]
-        if few:
+        if few and not os_list:
             groundtruth_baselines(genome, few, truth[: len(few)],
                                   out / f"{name}_groundtruth_baselines.csv")
     elif args.target == "baselines":

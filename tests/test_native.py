@@ -136,3 +136,33 @@ def test_native_io_end_to_end_on_dataset(io_lib, tmp_path, monkeypatch):
            [(r.description, r.content) for r in reads_nat]
     assert all(len(r.locations) == len(p.locations)
                for r, p in zip(reads_nat, reads_py))
+
+
+def test_native_parsers_universal_newlines_and_nonascii(io_lib, tmp_path,
+                                                        monkeypatch):
+    """Lone-'\\r' line endings parse like Python's universal newlines
+    (a CR byte must never enter genome content), and non-ASCII files
+    fall back to the Python parser instead of crashing."""
+    monkeypatch.setenv("SCROOGE_NATIVE_IO", "0")
+    from scrooge_tpu import io as sio
+
+    fa = tmp_path / "cr.fasta"
+    fa.write_bytes(b">c\nAC\rGT\n>d\rTTTT\r")
+    py = [(s.description, s.content) for s in sio.read_fasta(fa)]
+    nat = [(s.description, s.content) for s in native.parse_fasta(fa)]
+    assert py == nat == [("c", "ACGT"), ("d", "TTTT")]
+
+    fq = tmp_path / "cr.fastq"
+    fq.write_bytes(b"@r1\rACGT\r+\r!!!!\r@r2\rGG\r+\r!!\r")
+    py = [(r.description, r.content) for r in sio.read_fastq(fq)]
+    nat = [(r.description, r.content) for r in native.parse_fastq(fq)]
+    assert py == nat == [("r1", "ACGT"), ("r2", "GG")]
+
+    # non-ASCII: native returns None (caller falls back), io dispatch
+    # under SCROOGE_NATIVE_IO=1 still produces the Python result
+    ua = tmp_path / "u.fasta"
+    ua.write_bytes(b">s\xc3\xa9q\nACGT\n")
+    assert native.parse_fasta(ua) is None
+    monkeypatch.setenv("SCROOGE_NATIVE_IO", "1")
+    seqs = sio.read_fasta(ua)
+    assert [(s.description, s.content) for s in seqs] == [("séq", "ACGT")]

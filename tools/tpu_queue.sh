@@ -18,10 +18,43 @@ if [ "$step" = 1 ] || [ "$step" = all ]; then
 fi
 
 if [ "$step" = 2 ] || [ "$step" = all ]; then
-  # 2. W=256 Pallas validation (VMEM budget 92MB): parity + throughput
-  run timeout 3600 python -m pytest tests/test_engine_pallas.py -x -q -k vmem
-  run timeout 3600 python -m scrooge_tpu.cli.baseline_cli --simulated=256,2000 \
-      --algorithms=genasm_device --threads=2048
+  # 2. W=256 Pallas validation ON DEVICE: Mosaic-compiles the W=256
+  #    K=256 O=129 kernel (VMEM budget 92MB), checks bit-parity vs the
+  #    XLA engine, and reports throughput. (pytest is the wrong vehicle:
+  #    tests/conftest.py pins JAX_PLATFORMS=cpu.)
+  run timeout 3600 python - <<'PYEOF'
+import time, numpy as np
+from scrooge_tpu.config import AlignConfig
+from scrooge_tpu.ops import engine_pallas, engine_xla
+import jax
+print("devices:", jax.devices())
+cfg = AlignConfig(W=256, K=256, O=129, batch_tile=1024)
+B, rl, tl = 1024, 2000, 2400
+rng = np.random.default_rng(7)
+text = rng.integers(0, 4, (B, tl), dtype=np.uint8)
+pattern = np.where(rng.random((B, rl)) < 0.05,
+                   rng.integers(0, 4, (B, rl), dtype=np.uint8),
+                   text[:, :rl]).astype(np.uint8)
+tlen = np.full(B, tl, np.int32); plen = np.full(B, rl, np.int32)
+maxw = cfg.max_windows(rl)
+sk, kw = engine_pallas.choose_kernel_shape(cfg, B // 128)
+print("sk,kw =", sk, kw, "maxw =", maxw)
+tw = engine_pallas.pack_2bit_host(text)
+pw = engine_pallas.pack_2bit_host(pattern)
+t0 = time.time()
+rp = engine_pallas.align_batch(cfg, maxw, sk, kw, tw, tlen, pw, plen)
+edp = np.asarray(rp.edit_distance)   # readback = real sync on axon
+t1 = time.time()
+rp = engine_pallas.align_batch(cfg, maxw, sk, kw, tw, tlen, pw, plen)
+edp = np.asarray(rp.edit_distance)
+t2 = time.time()
+rx = engine_xla.align_batch(cfg, maxw, text, tlen, pattern, plen)
+edx = np.asarray(rx.edit_distance)
+print("W256 PARITY equal =", bool((edp == edx).all()),
+      "failed =", int(np.asarray(rp.failed).sum()))
+print(f"W256 compile+run {t1-t0:.1f}s, warm {t2-t1:.2f}s "
+      f"({B/(t2-t1):.0f} aligns/s incl. readback)")
+PYEOF
 fi
 
 if [ "$step" = 3 ] || [ "$step" = all ]; then
