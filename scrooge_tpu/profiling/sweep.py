@@ -115,7 +115,7 @@ def sweep_wo(genome, reads, backend: str, out: Path, max_experiments: int,
                           backend=backend, batch_tile=batch)
         for _ in range(repetitions):
             _run_throughput(genome, reads, cfg, data, batch)
-    csv_write(out, data, THROUGHPUT_HEADER)
+        csv_write(out, data, THROUGHPUT_HEADER)  # durable per config
 
 
 def sweep_o(genome, reads, backend: str, out: Path, max_experiments: int,
@@ -129,14 +129,18 @@ def sweep_o(genome, reads, backend: str, out: Path, max_experiments: int,
                           backend=backend, batch_tile=batch)
         for _ in range(repetitions):
             _run_throughput(genome, reads, cfg, data, batch)
-    csv_write(out, data, THROUGHPUT_HEADER)
+        csv_write(out, data, THROUGHPUT_HEADER)
 
 
 def sweep_batch(genome, reads, backend: str, out: Path, max_experiments: int,
                 repetitions: int, W: int = 64):
     """Batch-tile sweep — the analogue of the reference's thread sweep
-    (profile.py:104-122) / GPU thread-block sweep (profile.py:177-248)."""
-    tiles = [1024, 2048, 4096, 8192][: max(1, max_experiments)]
+    (profile.py:104-122) / GPU thread-block sweep (profile.py:177-248).
+    The top tiles are the engine's measured operating point (bench runs
+    at 32768); datasets smaller than a tile would measure padding, so
+    oversized tiles are dropped."""
+    tiles = [1024, 2048, 4096, 8192, 16384, 32768][: max(1, max_experiments)]
+    tiles = [t for t in tiles if t <= max(1024, len(reads))]
     data: List = []
     O = W // 2 + 1
     for idx, tile in enumerate(tiles):
@@ -145,7 +149,7 @@ def sweep_batch(genome, reads, backend: str, out: Path, max_experiments: int,
         cfg = AlignConfig(W=W, K=W, O=O, backend=backend, batch_tile=tile)
         for _ in range(repetitions):
             _run_throughput(genome, reads, cfg, data, tile)
-    csv_write(out, data, THROUGHPUT_HEADER)
+        csv_write(out, data, THROUGHPUT_HEADER)
 
 
 def sweep_kernel(genome, reads, out: Path, max_experiments: int,
@@ -203,6 +207,7 @@ def sweep_kernel(genome, reads, out: Path, max_experiments: int,
             np.asarray(r.edit_distance)
             dt = _time.perf_counter() - t0
             data.append([kw, sk, B, B / dt])
+            csv_write(out, data, ["kw", "sk", "batch", "aligns/second"])
         except Exception as e:
             print(f"kw={kw} sk={sk} failed ({e})", file=sys.stderr)
     csv_write(out, data, ["kw", "sk", "batch", "aligns/second"])
@@ -216,6 +221,8 @@ def accuracy_sweep(genome, reads, out: Path, max_experiments: int,
     'edlib' accuracy gold standard (algorithm column in all_accuracy,
     cpu_baseline.cpp:784-875)."""
     scoring = dict(match=2, mismatch=4, gap_open=4, gap_extend=2)
+    header = ["W", "O", "pair_idx", "score"] + (
+        ["cigar", "read", "reference"] if cigar else [])
     gran = max(16, max_W // max(1, max_experiments))
     Ws = list(range(gran, max_W + 1, gran))
     data: List = []
@@ -242,8 +249,7 @@ def accuracy_sweep(genome, reads, out: Path, max_experiments: int,
                                            + len(read.content) * 2]]
                 data.append(row)
                 pair_idx += 1
-    header = ["W", "O", "pair_idx", "score"] + (
-        ["cigar", "read", "reference"] if cigar else [])
+        csv_write(out, data, header)  # durable per config
     csv_write(out, data, header)
 
 
@@ -324,6 +330,8 @@ def groundtruth_accuracy(genome, reads, truth, out: Path,
                                  affine_score(a.cigar, **scoring),
                                  round(frac, 6)])
                     pair_idx += 1
+            csv_write(out, data, ["W", "O", "pair_idx", "score",
+                                  "correct_fraction"])  # durable
     csv_write(out, data, ["W", "O", "pair_idx", "score",
                           "correct_fraction"])
 

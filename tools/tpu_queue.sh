@@ -58,10 +58,12 @@ PYEOF
 fi
 
 if [ "$step" = 3 ] || [ "$step" = all ]; then
-  # 3. operating-point sweeps (VERDICT item 5): batch to 32768, W/O at
-  #    the bench batch
-  run timeout 7200 python -m scrooge_tpu.profiling.sweep device \
-      simulated:2048:10000 --profile_dir=profile --batch_tile=32768 \
+  # 3. operating-point sweeps: batch tiles to 32768 and W/O sweeps at
+  #    the bench batch, on a bench-sized dataset (smaller sets would
+  #    measure tile padding). Sweeps write their CSVs incrementally, so
+  #    a timeout keeps the completed configs.
+  run timeout 14400 python -m scrooge_tpu.profiling.sweep device \
+      simulated:32768:10000 --profile_dir=profile --batch_tile=32768 \
       --max_experiments=8
 fi
 
@@ -74,9 +76,10 @@ fi
 
 if [ "$step" = 5 ] || [ "$step" = all ]; then
   # 5. baselines throughput sweep on device (feeds baselines +
-  #    representative figures; includes wfa/wfa_lm/sw now)
-  run timeout 7200 python -m scrooge_tpu.profiling.sweep baselines \
-      simulated:2048:10000 --profile_dir=profile --batch_tile=32768 \
+  #    representative figures; includes wfa/wfa_lm/sw now). Same
+  #    bench-sized dataset so the device tile is fully populated.
+  run timeout 14400 python -m scrooge_tpu.profiling.sweep baselines \
+      simulated:32768:10000 --profile_dir=profile --batch_tile=32768 \
       --baseline_pairs=24
 fi
 
