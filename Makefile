@@ -4,7 +4,7 @@
 
 PY ?= python
 
-.PHONY: test test-fast bench native example sweep accuracy clean
+.PHONY: test test-fast bench native example sweep accuracy figures clean
 
 test:
 	$(PY) -m pytest tests/ -q
@@ -28,6 +28,21 @@ accuracy:
 	$(PY) -m scrooge_tpu.profiling.sweep groundtruth simulated:256:4000 --max_experiments=8 --max_W=128 --profile_dir=profile
 	$(PY) -m scrooge_tpu.profiling.sweep baselines simulated:256:2000 --profile_dir=profile
 
+# regenerate every figure from the recorded profile/ CSVs
+PLOT = $(PY) -m scrooge_tpu.profiling.plots
+figures:
+	$(PLOT) throughput --csv=profile/simulated_2048_10000_device_sweep_WO.csv --out=profile/throughput_W.png
+	$(PLOT) throughput --csv=profile/simulated_2048_10000_device_sweep_batch.csv --x=threads --out=profile/throughput_batch.png
+	$(PLOT) kernel --csv=profile/simulated_2048_10000_device_sweep_kernel.csv --out=profile/kernel_knobs.png
+	$(PLOT) scaling --csv=profile/scaling_virtual_cpu.csv --out=profile/scaling_virtual_cpu.png
+	$(PLOT) accuracy --csv=profile/simulated_256_2000_accuracy_sweep_wo.csv --exact_csv=profile/simulated_256_2000_baselines_accuracy.csv --out=profile/accuracy_scores.png
+	$(PLOT) groundtruth --csv=profile/simulated_256_4000_groundtruth_accuracy.csv --baselines_csv=profile/simulated_256_4000_groundtruth_baselines.csv --out=profile/groundtruth_accuracy_W.png
+	$(PLOT) groundtruth --csv=profile/simulated_128_2000_groundtruth_accuracy_O.csv --x=O --out=profile/groundtruth_accuracy_O.png
+	$(PLOT) baselines --csv=profile/simulated_512_2000_baselines_cpu.csv --out=profile/baselines_cpu.png
+	$(PLOT) representative --csv=profile/simulated_2048_10000_device_sweep_WO.csv --baselines_csv=profile/simulated_512_2000_baselines_cpu.csv --out=profile/representative.png
+	$(PLOT) roofline --csv=profile/simulated_2048_10000_device_sweep_WO.csv --out=profile/roofline_v5e.png
+	$(PLOT) asic --csv=profile/asic_sweep.csv --out=profile/asic_area_power.png
+
 clean:
-	rm -rf .jax_cache profile scrooge_tpu/native/_cigar_strings.so
+	rm -rf .jax_cache profile scrooge_tpu/native/*.so
 	find . -name __pycache__ -type d -exec rm -rf {} +
