@@ -109,8 +109,6 @@ class AlignStats:
     def count_fail_reasons(self, failed_mask) -> None:
         """Aggregate a Pallas per-lane reason bitmask into the counters
         (no-op for boolean failure arrays from the XLA engine)."""
-        import numpy as np
-
         m = np.asarray(failed_mask)
         if m.dtype == np.bool_:
             return
@@ -272,7 +270,7 @@ def _resolve_backend(cfg: AlignConfig, batch: int, n_dev: int = 1):
     return "xla", 0, 0
 
 
-def _build_alignments(cfg, tile_pairs, res, stats, eds_host=None,
+def _build_alignments(cfg, res, stats, eds_host=None,
                       sparse_rows=False, mesh=None):
     """Stringify device results and collect failures.
 
@@ -378,7 +376,7 @@ def _retry_pyref(cfg, text_codes: np.ndarray, pattern_codes: np.ndarray,
     return Alignment(cigar=cigar, edit_distance=ed)
 
 
-def _retry_batched_xla(cfg, items, stats, results, mesh=None):
+def _retry_batched_xla(cfg, items, stats, results, mesh=None, engine=None):
     """Batched retry for lanes the Pallas engine failed.
 
     The Pallas engine gives up on a window whose edit distance exceeds
@@ -400,6 +398,15 @@ def _retry_batched_xla(cfg, items, stats, results, mesh=None):
     if not items:
         return
     stats.retried_pairs += len(items)
+    if engine == "xla":
+        # the failed lanes already ran the full-K XLA engine at this very
+        # config — rerunning it is deterministic. Go straight to the
+        # scalar oracle, which raises AlignmentError when truly
+        # unalignable. (The batched retry exists as the Pallas→XLA
+        # escalation: tb_cap / drift limits don't exist on XLA.)
+        for ri, t, p in items:
+            results[ri] = _retry_pyref(cfg, t, p, ri)
+        return
     lane_mult = 128 * (int(mesh.devices.size) if mesh is not None else 1)
     chunk = max(cfg.batch_tile, lane_mult)
     for c0 in range(0, len(items), chunk):
@@ -425,7 +432,7 @@ def _retry_batched_xla(cfg, items, stats, results, mesh=None):
         else:
             args = _device_put_synced(text, tlen, pattern, plen)
             res = engine_xla.align_batch(cfg, maxw, *args)
-        eds, cigars, failed = _build_alignments(cfg, part, res, stats,
+        eds, cigars, failed = _build_alignments(cfg, res, stats,
                                                 mesh=mesh)
         for lane, (ri, t, p) in enumerate(part):
             if failed[lane]:
@@ -444,11 +451,23 @@ def _log_throughput(stats: AlignStats):
         )
 
 
-def _pyref_align_pairs(texts, queries, cfg):
+def _pyref_align_pairs(texts, queries, cfg, stats):
+    """Scalar-oracle backend. Encoding errors (non-ACGT) stay ValueError;
+    unalignable pairs raise AlignmentError exactly like the device
+    backends (whose failed lanes funnel through _retry_pyref)."""
     out = []
-    for t, q in zip(texts, queries):
-        ed, cigar = pyref.align_pair(t, q, cfg)
+    tc0 = time.perf_counter_ns()
+    for pair_idx, (t, q) in enumerate(zip(texts, queries)):
+        tc = pyref.encode(t)
+        qc = pyref.encode(q)
+        try:
+            ed, cigar = pyref.genasm(tc, qc, cfg)
+        except ValueError as e:
+            raise AlignmentError(
+                f"pair {pair_idx}: no alignment within K={cfg.K} edits "
+                f"per window (W={cfg.W})") from e
         out.append(Alignment(cigar=cigar, edit_distance=ed))
+    stats.core_ns += time.perf_counter_ns() - tc0
     return out
 
 
@@ -470,7 +489,7 @@ def align_pairs(
     stats = AlignStats(num_pairs=len(texts))
 
     if cfg.backend == "pyref":
-        out = _pyref_align_pairs(texts, queries, cfg)
+        out = _pyref_align_pairs(texts, queries, cfg, stats)
         _log_throughput(stats)
         return (out, stats) if return_stats else out
 
@@ -497,106 +516,105 @@ def align_pairs(
 
         pool = ThreadPoolExecutor(max_workers=1)
     pending = None
-    for t0 in range(0, len(order), tile_size):
-        idxs = order[t0 : t0 + tile_size]
-        B = tile_size
-        longest = max((len(query_codes[i]) for i in idxs), default=1) or 1
-        P = _bucket_lin(longest, 1024)
-        T = _bucket_lin(max((len(text_codes[i]) for i in idxs), default=1) or 1,
-                        1024)
-        # window count from the ACTUAL longest read, not the padded bucket
-        # (the pad can be ~2x the data; windows cost real device time),
-        # rounded up to bound the number of distinct traced maxw values
-        maxw = -(-cfg.max_windows(longest) // 32) * 32
-
-        tp0 = time.perf_counter_ns()
-        tlen = np.zeros(B, np.int32)
-        plen = np.zeros(B, np.int32)
-        tlen[: len(idxs)] = np.fromiter((len(text_codes[i]) for i in idxs),
-                                        np.int32, len(idxs))
-        plen[: len(idxs)] = np.fromiter((len(query_codes[i]) for i in idxs),
-                                        np.int32, len(idxs))
-        stats.prep_ns += time.perf_counter_ns() - tp0
-
-        def build_rows(codes, width):
-            def build(c0, c1, idxs=idxs, width=width, codes=codes):
-                rows = np.zeros((c1 - c0, width), np.uint8)
-                for r, i in enumerate(idxs[c0:c1]):
-                    v = codes[i]
-                    rows[r, : len(v)] = v
-                return (engine_pallas.pack_2bit_host(rows)
-                        if engine == "pallas" else rows)
-            return build
-
-        if mesh is None:
-            text_dev = _upload_rows_chunked(stats, B,
-                                            build_rows(text_codes, T))
-            pattern_dev = _upload_rows_chunked(stats, B,
-                                              build_rows(query_codes, P))
-            small = _device_put_synced(tlen, plen, stats=stats)
-            args = (text_dev, small[0], pattern_dev, small[1])
-        else:
-            from .parallel import mesh as mesh_mod
+    try:
+        for t0 in range(0, len(order), tile_size):
+            idxs = order[t0 : t0 + tile_size]
+            B = tile_size
+            longest = max((len(query_codes[i]) for i in idxs), default=1) or 1
+            P = _bucket_lin(longest, 1024)
+            T = _bucket_lin(max((len(text_codes[i]) for i in idxs), default=1) or 1,
+                            1024)
+            # window count from the ACTUAL longest read, not the padded bucket
+            # (the pad can be ~2x the data; windows cost real device time),
+            # rounded up to bound the number of distinct traced maxw values
+            maxw = -(-cfg.max_windows(longest) // 32) * 32
 
             tp0 = time.perf_counter_ns()
-            text_np = _build_rows_np(B, build_rows(text_codes, T))
-            pattern_np = _build_rows_np(B, build_rows(query_codes, P))
+            tlen = np.zeros(B, np.int32)
+            plen = np.zeros(B, np.int32)
+            tlen[: len(idxs)] = np.fromiter((len(text_codes[i]) for i in idxs),
+                                            np.int32, len(idxs))
+            plen[: len(idxs)] = np.fromiter((len(query_codes[i]) for i in idxs),
+                                            np.int32, len(idxs))
             stats.prep_ns += time.perf_counter_ns() - tp0
-            sh2 = mesh_mod.pair_sharding(mesh, 0, 2)
-            sh1 = mesh_mod.pair_sharding(mesh, 0, 1)
-            t_d, tl_d, p_d, pl_d = _device_put_synced(
-                text_np, tlen, pattern_np, plen,
-                shardings=(sh2, sh1, sh2, sh1), stats=stats)
-            args = (t_d, tl_d, p_d, pl_d)
-        tns = time.perf_counter_ns()
-        if engine == "pallas":
-            if mesh is not None:
-                res = mesh_mod.pallas_align_on_mesh(cfg, maxw, sk, kw, mesh,
-                                                    *args)
+
+            def build_rows(codes, width):
+                def build(c0, c1, idxs=idxs, width=width, codes=codes):
+                    rows = np.zeros((c1 - c0, width), np.uint8)
+                    for r, i in enumerate(idxs[c0:c1]):
+                        v = codes[i]
+                        rows[r, : len(v)] = v
+                    return (engine_pallas.pack_2bit_host(rows)
+                            if engine == "pallas" else rows)
+                return build
+
+            if mesh is None:
+                text_dev = _upload_rows_chunked(stats, B,
+                                                build_rows(text_codes, T))
+                pattern_dev = _upload_rows_chunked(stats, B,
+                                                  build_rows(query_codes, P))
+                small = _device_put_synced(tlen, plen, stats=stats)
+                args = (text_dev, small[0], pattern_dev, small[1])
             else:
-                res = engine_pallas.align_batch(cfg, maxw, sk, kw, *args)
-        elif mesh is not None:
-            res = mesh_mod.align_batch_on_mesh(cfg, maxw, mesh, *args)
-        else:
-            res = engine_xla.align_batch(cfg, maxw, *args)
+                from .parallel import mesh as mesh_mod
 
-        def postprocess(idxs=idxs, res=res, tns=tns):
-            # device-completion sync via a tiny readback on the worker
-            # thread (block_until_ready can return early on remote-tunnel
-            # plugins): the main loop encodes+uploads tile n+1 while tile
-            # n computes and reads back (see align_reads for the pipeline
-            # shape — prep/H2D of n+1 ∥ compute of n ∥ postprocess of n-1)
-            eds_host = np.asarray(res.edit_distance)
-            stats.core_ns += time.perf_counter_ns() - tns
-            eds, cigars, failed = _build_alignments(
-                cfg, idxs, res, stats, eds_host,
-                sparse_rows=(engine == "pallas"), mesh=mesh)
-            for lane, i in enumerate(idxs):
-                if failed[lane]:
-                    retry_items.append((i, text_codes[i], query_codes[i]))
+                tp0 = time.perf_counter_ns()
+                text_np = _build_rows_np(B, build_rows(text_codes, T))
+                pattern_np = _build_rows_np(B, build_rows(query_codes, P))
+                stats.prep_ns += time.perf_counter_ns() - tp0
+                sh2 = mesh_mod.pair_sharding(mesh, 0, 2)
+                sh1 = mesh_mod.pair_sharding(mesh, 0, 1)
+                t_d, tl_d, p_d, pl_d = _device_put_synced(
+                    text_np, tlen, pattern_np, plen,
+                    shardings=(sh2, sh1, sh2, sh1), stats=stats)
+                args = (t_d, tl_d, p_d, pl_d)
+            tns = time.perf_counter_ns()
+            if engine == "pallas":
+                if mesh is not None:
+                    res = mesh_mod.pallas_align_on_mesh(cfg, maxw, sk, kw, mesh,
+                                                        *args)
                 else:
-                    results[i] = Alignment(cigar=cigars[lane],
-                                           edit_distance=int(eds[lane]))
+                    res = engine_pallas.align_batch(cfg, maxw, sk, kw, *args)
+            elif mesh is not None:
+                res = mesh_mod.align_batch_on_mesh(cfg, maxw, mesh, *args)
+            else:
+                res = engine_xla.align_batch(cfg, maxw, *args)
 
-        try:
+            def postprocess(idxs=idxs, res=res, tns=tns):
+                # device-completion sync via a tiny readback on the worker
+                # thread (block_until_ready can return early on remote-tunnel
+                # plugins): the main loop encodes+uploads tile n+1 while tile
+                # n computes and reads back (see align_reads for the pipeline
+                # shape — prep/H2D of n+1 ∥ compute of n ∥ postprocess of n-1)
+                eds_host = np.asarray(res.edit_distance)
+                stats.core_ns += time.perf_counter_ns() - tns
+                eds, cigars, failed = _build_alignments(
+                    cfg, res, stats, eds_host,
+                    sparse_rows=(engine == "pallas"), mesh=mesh)
+                for lane, i in enumerate(idxs):
+                    if failed[lane]:
+                        retry_items.append((i, text_codes[i], query_codes[i]))
+                    else:
+                        results[i] = Alignment(cigar=cigars[lane],
+                                               edit_distance=int(eds[lane]))
+
             if pending is not None:
                 pending.result()
             pending = pool.submit(postprocess) if pool is not None else None
             if pending is None:
                 postprocess()
-        except BaseException:
-            if pool is not None:
-                pool.shutdown(wait=True, cancel_futures=True)
-            raise
 
-    if pending is not None:
-        try:
+        if pending is not None:
             pending.result()
-        finally:
-            pool.shutdown(wait=True)
-    elif pool is not None:
-        pool.shutdown(wait=True)
-    _retry_batched_xla(cfg, retry_items, stats, results, mesh)
+            pending = None
+    finally:
+        # a failing tile (validation, upload, dispatch, or the
+        # postprocess of the previous tile) must never leak the
+        # worker thread or silently drop its pending future
+        if pool is not None:
+            pool.shutdown(wait=True, cancel_futures=True)
+    _retry_batched_xla(cfg, retry_items, stats, results, mesh,
+                       engine)
     _log_throughput(stats)
     return (results, stats) if return_stats else results
 
@@ -625,10 +643,29 @@ def align_reads(
 
     if cfg.backend == "pyref":
         out = []
-        for start, read in pairs:
-            ed, cigar = pyref.align_pair(reference.content[start:],
-                                         read.content, cfg)
+        glen = len(reference.content)
+        tc0 = time.perf_counter_ns()
+        for pair_idx, (start, read) in enumerate(pairs):
+            # same bounds semantics as the device path (a negative start
+            # must not wrap to the genome tail via Python slicing)
+            if not 0 <= start <= glen:
+                raise ValueError(
+                    f"candidate location {start} out of genome bounds")
+            # same consumption bound as the device path's text_bound:
+            # slicing the whole genome suffix would copy + encode up to
+            # the full genome per pair
+            bound = (cfg.max_windows(len(read.content)) * cfg.tb_limit
+                     + cfg.W)
+            tc = pyref.encode(reference.content[start : start + bound])
+            qc = pyref.encode(read.content)
+            try:
+                ed, cigar = pyref.genasm(tc, qc, cfg)
+            except ValueError as e:
+                raise AlignmentError(
+                    f"pair {pair_idx}: no alignment within K={cfg.K} "
+                    f"edits per window (W={cfg.W})") from e
             out.append(Alignment(cigar=cigar, edit_distance=ed))
+        stats.core_ns += time.perf_counter_ns() - tc0
         _log_throughput(stats)
         return (out, stats) if return_stats else out
 
@@ -641,6 +678,12 @@ def align_reads(
     tp0 = time.perf_counter_ns()
     genome_codes = encode_np(reference.content)
     glen = len(genome_codes)
+    if glen > 0xFFFFFFFF:
+        # the device gather path indexes the genome with uint32 char
+        # offsets; silently wrapping would align reads at wrong loci
+        raise ValueError(
+            f"genome of {glen} bases exceeds the 2^32-1 device offset "
+            "range; split it by chromosome or use backend='pyref'")
     # pad to a linear bucket so XLA traces once per bucket, not per genome
     # length (padding is never read: text_len clamps usable text). Linear
     # rather than power-of-two: the packed one-time upload amortizes the
@@ -693,115 +736,112 @@ def align_reads(
 
         pool = ThreadPoolExecutor(max_workers=1)
     pending = None
-    for t0 in range(0, len(order), tile_size):
-        idxs = order[t0 : t0 + tile_size]
-        B = tile_size
-        longest = max((qlens[i] for i in idxs), default=1) or 1
-        P = _bucket_lin(longest, 1024)
-        maxw = -(-cfg.max_windows(longest) // 32) * 32
-        # usable text per lane is bounded by total possible consumption;
-        # pre-clamping keeps window arithmetic in int32 even for huge genomes
-        text_bound = maxw * cfg.tb_limit + cfg.W
-
-        tp0 = time.perf_counter_ns()
-        starts = np.zeros(B, np.uint32)
-        tlen = np.zeros(B, np.int32)
-        plen = np.zeros(B, np.int32)
-        starts_l = np.fromiter((pairs[i][0] for i in idxs), np.int64,
-                               len(idxs))
-        if len(starts_l) and (starts_l.min() < 0 or starts_l.max() > glen):
-            bad = int(starts_l[(starts_l < 0) | (starts_l > glen)][0])
-            raise ValueError(f"candidate location {bad} out of genome bounds")
-        starts[: len(idxs)] = starts_l.astype(np.uint32)
-        tlen[: len(idxs)] = np.minimum(glen - starts_l,
-                                       text_bound).astype(np.int32)
-        plen[: len(idxs)] = np.fromiter((qlens[i] for i in idxs), np.int32,
-                                        len(idxs))
-        stats.prep_ns += time.perf_counter_ns() - tp0
-
-        def build_pattern_rows(c0, c1, idxs=idxs, P=P):
-            rows = np.zeros((c1 - c0, P), np.uint8)
-            for r, i in enumerate(idxs[c0:c1]):
-                q = encode_np(pairs[i][1].content)
-                rows[r, : len(q)] = q
-            return (engine_pallas.pack_2bit_host(rows)
-                    if engine == "pallas" else rows)
-
-        if mesh is None:
-            pattern_dev = _upload_rows_chunked(stats, B, build_pattern_rows)
-            small = _device_put_synced(starts, tlen, plen, stats=stats)
-            args = (small[0], small[1], pattern_dev, small[2])
-        else:
-            from .parallel import mesh as mesh_mod
+    try:
+        for t0 in range(0, len(order), tile_size):
+            idxs = order[t0 : t0 + tile_size]
+            B = tile_size
+            longest = max((qlens[i] for i in idxs), default=1) or 1
+            P = _bucket_lin(longest, 1024)
+            maxw = -(-cfg.max_windows(longest) // 32) * 32
+            # usable text per lane is bounded by total possible consumption;
+            # pre-clamping keeps window arithmetic in int32 even for huge genomes
+            text_bound = maxw * cfg.tb_limit + cfg.W
 
             tp0 = time.perf_counter_ns()
-            pattern_np = _build_rows_np(B, build_pattern_rows)
+            starts = np.zeros(B, np.uint32)
+            tlen = np.zeros(B, np.int32)
+            plen = np.zeros(B, np.int32)
+            starts_l = np.fromiter((pairs[i][0] for i in idxs), np.int64,
+                                   len(idxs))
+            if len(starts_l) and (starts_l.min() < 0 or starts_l.max() > glen):
+                bad = int(starts_l[(starts_l < 0) | (starts_l > glen)][0])
+                raise ValueError(f"candidate location {bad} out of genome bounds")
+            starts[: len(idxs)] = starts_l.astype(np.uint32)
+            tlen[: len(idxs)] = np.minimum(glen - starts_l,
+                                           text_bound).astype(np.int32)
+            plen[: len(idxs)] = np.fromiter((qlens[i] for i in idxs), np.int32,
+                                            len(idxs))
             stats.prep_ns += time.perf_counter_ns() - tp0
-            sh2 = mesh_mod.pair_sharding(mesh, 0, 2)
-            sh1 = mesh_mod.pair_sharding(mesh, 0, 1)
-            st_d, tl_d, pat_d, pl_d = _device_put_synced(
-                starts, tlen, pattern_np, plen,
-                shardings=(sh1, sh1, sh2, sh1), stats=stats)
-            args = (st_d, tl_d, pat_d, pl_d)
-        tns = time.perf_counter_ns()
-        if engine == "pallas":
-            if mesh is not None:
-                res = mesh_mod.pallas_align_mapped_on_mesh(
-                    cfg, maxw, sk, kw, mesh, genome_dev, *args)
+
+            def build_pattern_rows(c0, c1, idxs=idxs, P=P):
+                rows = np.zeros((c1 - c0, P), np.uint8)
+                for r, i in enumerate(idxs[c0:c1]):
+                    q = encode_np(pairs[i][1].content)
+                    rows[r, : len(q)] = q
+                return (engine_pallas.pack_2bit_host(rows)
+                        if engine == "pallas" else rows)
+
+            if mesh is None:
+                pattern_dev = _upload_rows_chunked(stats, B, build_pattern_rows)
+                small = _device_put_synced(starts, tlen, plen, stats=stats)
+                args = (small[0], small[1], pattern_dev, small[2])
             else:
-                res = engine_pallas.align_batch_mapped(
-                    cfg, maxw, sk, kw, genome_dev, *args)
-        elif mesh is not None:
-            res = mesh_mod.align_batch_mapped_on_mesh(
-                cfg, maxw, mesh, genome_dev, *args)
-        else:
-            res = engine_xla.align_batch_mapped(cfg, maxw, genome_dev, *args)
+                from .parallel import mesh as mesh_mod
 
-        def postprocess(idxs=idxs, res=res, tns=tns, tlen=tlen):
-            # the device-completion sync (tiny readback — block_until_ready
-            # returns early on tunnel plugins) runs HERE, on the worker
-            # thread: the main loop goes on to encode+upload tile n+1
-            # while tile n still computes, so H2D rides the link during
-            # device time. With >1 tile in flight core_ns can overlap
-            # upload_ns; the single-tile bench keeps a clean kernel split.
-            eds_host = np.asarray(res.edit_distance)
-            stats.core_ns += time.perf_counter_ns() - tns
-            eds, cigars, failed = _build_alignments(
-                cfg, idxs, res, stats, eds_host,
-                sparse_rows=(engine == "pallas"), mesh=mesh)
-            for lane, i in enumerate(idxs):
-                if failed[lane]:
-                    start = pairs[i][0]
-                    end = min(glen, start + int(tlen[lane]))
-                    retry_items.append((i, genome_codes[start:end],
-                                        encode_np(pairs[i][1].content)))
+                tp0 = time.perf_counter_ns()
+                pattern_np = _build_rows_np(B, build_pattern_rows)
+                stats.prep_ns += time.perf_counter_ns() - tp0
+                sh2 = mesh_mod.pair_sharding(mesh, 0, 2)
+                sh1 = mesh_mod.pair_sharding(mesh, 0, 1)
+                st_d, tl_d, pat_d, pl_d = _device_put_synced(
+                    starts, tlen, pattern_np, plen,
+                    shardings=(sh1, sh1, sh2, sh1), stats=stats)
+                args = (st_d, tl_d, pat_d, pl_d)
+            tns = time.perf_counter_ns()
+            if engine == "pallas":
+                if mesh is not None:
+                    res = mesh_mod.pallas_align_mapped_on_mesh(
+                        cfg, maxw, sk, kw, mesh, genome_dev, *args)
                 else:
-                    results[i] = Alignment(cigar=cigars[lane],
-                                           edit_distance=int(eds[lane]))
+                    res = engine_pallas.align_batch_mapped(
+                        cfg, maxw, sk, kw, genome_dev, *args)
+            elif mesh is not None:
+                res = mesh_mod.align_batch_mapped_on_mesh(
+                    cfg, maxw, mesh, genome_dev, *args)
+            else:
+                res = engine_xla.align_batch_mapped(cfg, maxw, genome_dev, *args)
 
-        # overlap host post-processing of this tile with the next tile's
-        # device work (readback + C++ formatting release the GIL)
-        try:
+            def postprocess(idxs=idxs, res=res, tns=tns, tlen=tlen):
+                # the device-completion sync (tiny readback — block_until_ready
+                # returns early on tunnel plugins) runs HERE, on the worker
+                # thread: the main loop goes on to encode+upload tile n+1
+                # while tile n still computes, so H2D rides the link during
+                # device time. With >1 tile in flight core_ns can overlap
+                # upload_ns; the single-tile bench keeps a clean kernel split.
+                eds_host = np.asarray(res.edit_distance)
+                stats.core_ns += time.perf_counter_ns() - tns
+                eds, cigars, failed = _build_alignments(
+                    cfg, res, stats, eds_host,
+                    sparse_rows=(engine == "pallas"), mesh=mesh)
+                for lane, i in enumerate(idxs):
+                    if failed[lane]:
+                        start = pairs[i][0]
+                        end = min(glen, start + int(tlen[lane]))
+                        retry_items.append((i, genome_codes[start:end],
+                                            encode_np(pairs[i][1].content)))
+                    else:
+                        results[i] = Alignment(cigar=cigars[lane],
+                                               edit_distance=int(eds[lane]))
+
+            # overlap host post-processing of this tile with the next tile's
+            # device work (readback + C++ formatting release the GIL)
             if pending is not None:
                 pending.result()
             pending = pool.submit(postprocess) if pool is not None else None
             if pending is None:
                 postprocess()
-        except BaseException:
-            # drain + shut down the worker so a failing tile surfaces
-            # immediately and never leaks the pool thread
-            if pool is not None:
-                pool.shutdown(wait=True, cancel_futures=True)
-            raise
 
-    if pending is not None:
-        try:
+        if pending is not None:
             pending.result()
-        finally:
-            pool.shutdown(wait=True)
-    elif pool is not None:
-        pool.shutdown(wait=True)
-    _retry_batched_xla(cfg, retry_items, stats, results, mesh)
+            pending = None
+    finally:
+        # a failing tile (validation, upload, dispatch, or the
+        # postprocess of the previous tile) must never leak the
+        # worker thread or silently drop its pending future
+        if pool is not None:
+            pool.shutdown(wait=True, cancel_futures=True)
+    _retry_batched_xla(cfg, retry_items, stats, results, mesh,
+                       engine)
     _log_throughput(stats)
     return (results, stats) if return_stats else results
 

@@ -231,3 +231,31 @@ def test_engine_corpus_parity_large_w(wko):
     for (text, query, ed, cigar), a in zip(cases, got):
         assert a.edit_distance == ed, (W, len(text), len(query))
         assert a.cigar == cigar, (W, len(text), len(query))
+
+
+def test_pyref_backend_semantics_match_device_backends():
+    """The oracle backend raises the same errors as the device backends:
+    AlignmentError for unalignable pairs (not bare ValueError) and a
+    bounds ValueError for out-of-genome candidate locations (Python
+    slicing must not wrap negative starts to the genome tail)."""
+    from scrooge_tpu.api import AlignmentError
+
+    cfg = AlignConfig(backend="pyref", W=32, K=8, O=17)
+    with pytest.raises(AlignmentError):
+        scrooge_tpu.align_all(["C" * 32], ["A" * 32], config=cfg)
+
+    genome = Genome(content="ACGT" * 50)
+    for bad_start in (-5, 10_000):
+        read = Read(description="r", content="ACGTACGT",
+                    locations=[CandidateLocation(
+                        start_in_reference=bad_start)])
+        with pytest.raises(ValueError, match="out of genome bounds"):
+            scrooge_tpu.align_all(genome, [read],
+                                  config=AlignConfig(backend="pyref"))
+
+    # stats: the oracle backend reports a real core time (the scraped
+    # aligns/second line must not be garbage)
+    _, stats = scrooge_tpu.api.align_pairs(
+        ["ACGTACGTACGT"], ["ACGTACGTACGT"],
+        config=AlignConfig(backend="pyref"), return_stats=True)
+    assert stats.core_ns > 0
