@@ -256,6 +256,11 @@ def _resolve_backend(cfg: AlignConfig, batch: int, n_dev: int = 1):
     sk, kw = engine_pallas.choose_kernel_shape(cfg, S)
     if cfg.backend == "pallas":
         if sk == 0:
+            if not engine_pallas.slab_bound_ok(cfg):
+                raise ValueError(
+                    f"W={cfg.W} O={cfg.O} exceeds the Pallas slab bound "
+                    "(Mosaic select-chain compile limit) at every "
+                    "windows-per-slab choice; use backend='xla'")
             if not engine_pallas.fits_vmem(cfg):
                 raise ValueError(
                     f"W={cfg.W} K={cfg.K} O={cfg.O} DP state does not fit "

@@ -138,7 +138,7 @@ def kernel_vmem_bytes(cfg: AlignConfig, sk: int, kw: int = DEFAULT_KW) -> int:
     """Approximate VMEM footprint of the window kernel for sublane tile sk."""
     lane_b = sk * LANE * 4
     r = (cfg.tb_cap + 2) * cfg.columns * cfg.num_tb_words * lane_b
-    ff = (cfg.W + 1) * cfg.num_words * lane_b
+    ff = (cfg.W + 2) * cfg.num_words * lane_b  # W+1 rows + dummy sink row
     pmi = cfg.W * cfg.num_words * lane_b
     upat = (cfg.W if cfg.W % 16 else 1) * lane_b
     pmc = 4 * cfg.num_words * lane_b
@@ -192,6 +192,14 @@ def choose_sublane_tile(cfg: AlignConfig, S: int,
 
 def fits_vmem(cfg: AlignConfig, budget_bytes: int = VMEM_BUDGET) -> bool:
     return kernel_vmem_bytes(cfg, 8) <= budget_bytes
+
+
+def slab_bound_ok(cfg: AlignConfig) -> bool:
+    """Whether ANY windows-per-slab choice stays under the Mosaic
+    select-chain compile bound — when false the config can never run on
+    the Pallas engine regardless of batch size (api reports it as a W/O
+    limit, not a batch-tiling problem)."""
+    return slab_words(cfg, 1) <= MAX_SLAB_WORDS
 
 
 def pack_2bit(codes: jnp.ndarray) -> jnp.ndarray:
@@ -275,7 +283,7 @@ def _mw_shr_u32(words, s):
     return out
 
 
-def _mw_onehot_u32(t, nwm, shape):
+def _mw_onehot_u32(t, nwm):
     """Word list with bit t set (none when t outside [0, 32*nwm))."""
     out = []
     for w in range(nwm):
@@ -681,7 +689,7 @@ def _multi_window_kernel(cfg: AlignConfig, kw: int,
             MB1 = _mw_shr_u32(McB1, i + 1)
             tj = (m - 1) - j  # the single offset where j+t == m-1
             tn = n - i        # offsets t >= tn have i+t >= n (i_limit)
-            jbit = _mw_onehot_u32(tj, NWC, lane)
+            jbit = _mw_onehot_u32(tj, NWC)
             below = _mw_below_u32(tn, NWC)
             m_ins = [MA[w] | jbit[w] for w in range(NWC)]
             m_del = [MB0[w] & ~jbit[w] & below[w] for w in range(NWC)]
@@ -809,9 +817,6 @@ def slab_step_kernel(cfg: AlignConfig, kw: int, sk: int,
     def im2(t):
         return (t, 0)
 
-    def ime(t):
-        return (0, t, 0)
-
     lane2 = pl.BlockSpec((sk, LANE), im2, memory_space=pltpu.VMEM)
     slab3 = pl.BlockSpec((NWD, sk, LANE), im3, memory_space=pltpu.VMEM)
 
@@ -826,8 +831,8 @@ def slab_step_kernel(cfg: AlignConfig, kw: int, sk: int,
     ]
     out_specs = [
         lane2, lane2, lane2, lane2, lane2,
-        pl.BlockSpec((kw * NE3, sk, LANE), ime, memory_space=pltpu.VMEM),
-        pl.BlockSpec((kw, sk, LANE), ime, memory_space=pltpu.VMEM),
+        pl.BlockSpec((kw * NE3, sk, LANE), im3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((kw, sk, LANE), im3, memory_space=pltpu.VMEM),
     ]
     in_specs = [slab3, lane2, slab3, lane2, lane2, lane2,
                 lane2, lane2, lane2, lane2, lane2]
@@ -855,7 +860,10 @@ def slab_step_kernel(cfg: AlignConfig, kw: int, sk: int,
         out_shape=out_shape,
         scratch_shapes=scratch_shapes,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            # track the shape chooser's budget (the env knob is meant for
+            # probing bigger shapes — a fixed limit below the budget would
+            # reject the very shapes the chooser accepted)
+            vmem_limit_bytes=max(100 * 1024 * 1024, VMEM_BUDGET + (8 << 20)),
         ),
         interpret=interpret,
     )(twords, toff, pwords, poff, tlen, plen,
@@ -971,14 +979,27 @@ def _align_scan(cfg: AlignConfig, sk: int, kw: int, max_windows: int,
     failed = failed | jnp.where((failed == 0) & (read_idx < plen),
                                 FAIL_INCOMPLETE, 0)
 
+    # SPARSE rows (tb_rows wide): non-empty slots are complete maximal
+    # runs in order; compact with compact_entries_sparse[_u8]
+    entries = entries.reshape(n_steps * kw, NE3, B)
+    counts = counts.reshape(n_steps * kw, B).astype(jnp.int32)
+    if n_steps * kw > max_windows:
+        # the slab loop runs whole slabs, so when kw does not divide
+        # max_windows the scan grants up to kw-1 extra trailing windows.
+        # Those are outside the contract (engine_xla runs EXACTLY
+        # max_windows): lanes that emitted anything there fail instead of
+        # silently succeeding where the XLA engine reports failure.
+        extra_used = counts[max_windows:].sum(axis=0) > 0
+        failed = failed | jnp.where(extra_used.reshape(failed.shape),
+                                    FAIL_INCOMPLETE, 0)
+        entries = entries[:max_windows]
+        counts = counts[:max_windows]
     return BatchResult(
         edit_distance=ed.reshape(B),
         # int32 reason bitmask (FAIL_*); nonzero = lane needs retry
         failed=failed.reshape(B),
-        # SPARSE rows (tb_rows wide): non-empty slots are complete maximal
-        # runs in order; compact with compact_entries_sparse[_u8]
-        entries=entries.reshape(n_steps * kw, NE3, B),
-        counts=counts.reshape(n_steps * kw, B).astype(jnp.int32),
+        entries=entries,
+        counts=counts,
     )
 
 

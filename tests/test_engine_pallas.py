@@ -207,7 +207,9 @@ def test_pallas_vmem_fallback_resolution():
         cfg = _AC(W=wko[0], K=wko[1], O=wko[2])
         sk, kw = engine_pallas.choose_kernel_shape(cfg, 256)
         assert sk > 0, wko
-    with pytest.raises(ValueError, match="does not fit VMEM"):
+    # W=512 breaks BOTH Pallas limits; the slab (Mosaic compile) bound is
+    # reported first — it binds regardless of batch size or VMEM budget
+    with pytest.raises(ValueError, match="Pallas slab bound"):
         _resolve_backend(_AC(W=512, K=512, O=257, backend="pallas"), 1024)
 
 
@@ -354,3 +356,34 @@ def test_w256_parity_interpreted():
     assert not np.asarray(rp.failed).any()
     np.testing.assert_array_equal(np.asarray(rp.edit_distance),
                                   np.asarray(rx.edit_distance))
+
+
+def test_trailing_windows_beyond_max_windows_fail_like_xla():
+    """When kw does not divide max_windows, the slab loop runs extra
+    trailing windows; lanes that needed them must FAIL (engine_xla runs
+    exactly max_windows), and entries/counts must be sliced to
+    max_windows. Regression for a latent contract divergence."""
+    cfg = _AC(W=16, K=16, O=9, batch_tile=128)
+    B, rl, tl = 128, 60, 90
+    rng = np.random.default_rng(3)
+    text = rng.integers(0, 4, (B, tl), dtype=np.uint8)
+    pattern = np.where(rng.random((B, rl)) < 0.06,
+                       rng.integers(0, 4, (B, rl), dtype=np.uint8),
+                       text[:, :rl]).astype(np.uint8)
+    pattern[:8, :] = rng.integers(0, 4, (8, rl), dtype=np.uint8)
+    tlen = np.full(B, tl, np.int32)
+    plen = np.full(B, rl, np.int32)
+    tw = engine_pallas.pack_2bit_host(text)
+    pw = engine_pallas.pack_2bit_host(pattern)
+    for maxw, kw in [(9, 2), (13, 8)]:
+        rp = engine_pallas.align_batch(cfg, maxw, 1, kw, tw, tlen, pw, plen)
+        rx = engine_xla.align_batch(cfg, maxw, text, tlen, pattern, plen)
+        assert rp.entries.shape[0] == maxw
+        assert rp.counts.shape[0] == maxw
+        fp = np.asarray(rp.failed) != 0
+        fx = np.asarray(rx.failed)
+        np.testing.assert_array_equal(fp, fx)
+        ok = ~fp
+        np.testing.assert_array_equal(
+            np.asarray(rp.edit_distance)[ok],
+            np.asarray(rx.edit_distance)[ok])
