@@ -80,7 +80,10 @@ def shl1(v: jnp.ndarray, W: int) -> jnp.ndarray:
 
 
 def ones_shifted(shift: jnp.ndarray, W: int) -> jnp.ndarray:
-    """ones(W) << shift, for a per-lane int32 ``shift`` in [0, W+K].
+    """ones(W) << shift, for any non-negative per-lane int32 ``shift``
+    (callers reach W+K+2 via the wavefront fill's ones_table; the
+    per-word clamp below makes every shift >= W yield zeros, so the
+    domain is unbounded above).
 
     Word w holds bits [32w, 32w+32); bit b is 1 iff shift <= b < W.
     """

@@ -259,3 +259,24 @@ def test_pyref_backend_semantics_match_device_backends():
         ["ACGTACGTACGT"], ["ACGTACGTACGT"],
         config=AlignConfig(backend="pyref"), return_stats=True)
     assert stats.core_ns > 0
+
+
+def test_engine_odd_k_parity_with_oracle():
+    """Odd K exercises the two-row wavefront's scratch-row parity logic
+    (the d+1 <= K gate and the final odd row): the committed corpus and
+    the other engine tests all use even K, so this pins the odd path."""
+    for K in (7, 15):
+        cfg = AlignConfig(W=16, K=K, O=9, backend="xla", batch_tile=128)
+        ref_cfg = AlignConfig(W=16, K=K, O=9)
+        cases, wants = [], []
+        for t, q in _random_cases(31 + K, 16, max_len=60):
+            try:
+                wants.append(pyref.align_pair(t, q, ref_cfg))
+            except ValueError:
+                continue  # unalignable under this small K: skip
+            cases.append((t, q))
+        assert len(cases) >= 8, f"K={K}: too few alignable cases"
+        got = scrooge_tpu.align_all([t for t, _ in cases],
+                                    [q for _, q in cases], config=cfg)
+        for (t, q), a, want in zip(cases, got, wants):
+            assert (a.edit_distance, a.cigar) == want, (K, t, q)
