@@ -210,7 +210,10 @@ def _resolve_mesh(cfg: AlignConfig):
     keeps shards load-balanced; there is no work stealing on TPU)."""
     import jax
 
-    n = len(jax.devices())
+    # LOCAL devices: in a multi-process run each process aligns its own
+    # shard (parallel/distributed.py); a global mesh would device_put
+    # host-local tiles onto non-addressable devices
+    n = len(jax.local_devices())
     while n > 1 and cfg.batch_tile % (128 * n):
         n -= 1
     if n <= 1:

@@ -34,13 +34,28 @@ from ..datamodel import Alignment, Genome, Read
 def initialize(coordinator_address: Optional[str] = None,
                num_processes: Optional[int] = None,
                process_id: Optional[int] = None) -> None:
-    """Initialize jax.distributed when running multi-process; safe no-op
-    for single-process runs (the common single-host case)."""
+    """Initialize jax.distributed; safe no-op for plain single-process
+    runs. Called with no arguments it defers to jax's cluster
+    auto-detection (SLURM / Open MPI / TPU pod / GKE environments), and
+    only skips initialization when no cluster environment is detected —
+    an argless call on a cluster node must NOT silently run
+    single-process (every host would align the full dataset)."""
     import jax
 
     if num_processes is None and coordinator_address is None:
-        # single process: nothing to initialize
-        return
+        try:
+            from jax._src.clusters import ClusterEnv
+
+            detected = ClusterEnv.auto_detect_unset_distributed_params(
+                None, None, None, None, None, None)[0] is not None
+        except Exception:  # private API moved: fall back to env sniffing
+            import os
+
+            detected = any(os.environ.get(v) for v in (
+                "JAX_COORDINATOR_ADDRESS", "SLURM_JOB_ID",
+                "OMPI_COMM_WORLD_SIZE"))
+        if not detected:
+            return  # no cluster environment: plain single-process run
     jax.distributed.initialize(coordinator_address=coordinator_address,
                                num_processes=num_processes,
                                process_id=process_id)
@@ -71,14 +86,14 @@ def shard_reads(reads: Sequence[Read],
     local_pair_idx: List[int] = []
     pair_idx = 0
     for read in reads:
-        kept = [loc for i, loc in enumerate(read.locations)
+        kept = [(pair_idx + i, loc)
+                for i, loc in enumerate(read.locations)
                 if (pair_idx + i) % pcount == pid]
         if kept:
             local_reads.append(Read(description=read.description,
-                                    content=read.content, locations=kept))
-            local_pair_idx.extend(
-                pair_idx + i for i, loc in enumerate(read.locations)
-                if (pair_idx + i) % pcount == pid)
+                                    content=read.content,
+                                    locations=[loc for _, loc in kept]))
+            local_pair_idx.extend(gi for gi, _ in kept)
         pair_idx += len(read.locations)
     return local_reads, local_pair_idx
 
@@ -100,7 +115,29 @@ def align_reads_distributed(
     cfg = config or AlignConfig()
     pid, pcount = _process_info()
     local_reads, local_idx = shard_reads(reads)
-    local_alns = api.align_reads(genome, local_reads, cfg)
+    local_err = None
+    try:
+        local_alns = api.align_reads(genome, local_reads, cfg)
+    except api.AlignmentError as e:
+        if pcount == 1:
+            raise
+        # multi-process: do NOT die unilaterally — the other processes
+        # are headed into the allgather collectives and would deadlock.
+        # Participate in a failure-flag gather first so every process
+        # raises consistently.
+        local_err = str(e)
+        local_alns = []
+        local_idx = []
+
+    if pcount > 1:
+        import numpy as np
+        from jax.experimental import multihost_utils as mhu
+
+        ok = mhu.process_allgather(np.int64(local_err is None))
+        if not bool(np.asarray(ok).all()):
+            raise api.AlignmentError(
+                local_err or "a peer process failed to align its shard "
+                             "(see its log for the failing pair)")
 
     if not gather or pcount == 1:
         if gather:

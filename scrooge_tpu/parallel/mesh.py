@@ -33,18 +33,32 @@ from ..config import AlignConfig
 from ..ops import engine_xla
 
 try:  # jax >= 0.6 exposes shard_map at the top level
-    shard_map = jax.shard_map
+    _shard_map = jax.shard_map
+    _CHECK_KW = "check_vma"
 except AttributeError:  # pragma: no cover - older jax
-    from jax.experimental.shard_map import shard_map
+    from jax.experimental.shard_map import shard_map as _shard_map
+
+    _CHECK_KW = "check_rep"  # the pre-0.6 name of the same knob
+
+
+def shard_map(fn, *, mesh, in_specs, out_specs, check_vma=True):
+    return _shard_map(fn, mesh=mesh, in_specs=in_specs,
+                      out_specs=out_specs, **{_CHECK_KW: check_vma})
 
 PAIR_AXIS = "pairs"
 
 
 def make_mesh(num_devices: Optional[int] = None,
               devices: Optional[Sequence] = None) -> Mesh:
-    """1-D mesh over all (or the first ``num_devices``) local devices."""
+    """1-D mesh over all (or the first ``num_devices``) local devices.
+
+    LOCAL devices deliberately: in a multi-process (jax.distributed) run
+    each process feeds its own host-local batch shard (parallel/
+    distributed.py owns the cross-process split), so a mesh spanning
+    other processes' non-addressable devices could never receive the
+    device_puts the tile loops perform."""
     if devices is None:
-        devices = jax.devices()
+        devices = jax.local_devices()
     if num_devices is not None:
         if num_devices > len(devices):
             raise ValueError(
