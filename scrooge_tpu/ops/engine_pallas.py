@@ -1099,33 +1099,33 @@ def compact_entries_sparse(entries, counts, cap: int):
 
     entries: (MAXW, NE3, B) uint16 per-window traceback rows where empty
     slots are 0 and each lane's non-empty slots hold its maximal CIGAR
-    runs in order; counts: (MAXW, B) int32 runs per window. Output slot g
-    of lane b holds the g-th run of that pair; slots >= total are 0.
+    runs in order; counts: (MAXW, B) int32 runs per window (== the
+    nonzero slots per window). Output slot g of lane b holds the g-th run
+    of that pair; slots >= total are 0.
 
-    Packs each window's sparse rows into a dense prefix (log-shift
-    compaction, _pack_rows_dense), then reuses the dense-row fast path:
-    log-depth count prefix, flat-int32-take binary search for the window,
-    and a word-packed run gather (engine_xla.cumsum_log /
-    _searchsorted_windows / _gather_runs — see there for the three TPU
-    cliffs these avoid; the previous per-element row binary search over
-    this store measured ~11 s/batch at the headline benchmark shape)."""
-    from .engine_xla import _gather_runs, _searchsorted_windows
-
+    One log-shift compaction over the flattened (MAXW*NE3) row axis
+    (engine_xla._compact_flat_logshift) — purely elementwise; validity is
+    slot != 0. The two earlier designs both gathered: a per-element row
+    binary search (~11 s/batch at the headline benchmark shape) and a
+    window binary search + word-packed run gather (~5 s/batch); the
+    gather-free shifts run the same batch in ~0.2 s."""
     maxw, ne3, b = entries.shape
-    dense = _pack_rows_dense(entries)
-    cum = cumsum_log(counts)  # inclusive, (MAXW, B)
-    totals = cum[-1]
-    w, e, g, lane = _searchsorted_windows(cum, cap)
-    out = _gather_runs(dense, w, jnp.clip(e, 0, ne3 - 1), lane)
-    valid_g = g < totals[None, :]
-    return jnp.where(valid_g, out, 0).astype(jnp.uint16), totals
+    from .engine_xla import _compact_flat_logshift
+
+    flat = entries.reshape(maxw * ne3, b)
+    out, totals = _compact_flat_logshift(flat, flat != 0, cap)
+    return out.astype(jnp.uint16), totals
 
 
 @functools.partial(jax.jit, static_argnums=(2,))
 def compact_entries_sparse_u8(entries, counts, cap: int):
-    """compact_entries_sparse + uint8 repack (op << 6 | count), valid when
-    tb_limit <= 63 — see engine_xla.compact_entries_u8."""
-    out16, totals = compact_entries_sparse(entries, counts, cap)
-    ops = (out16 >> ENTRY_OP_SHIFT).astype(jnp.uint8)
-    cnts = (out16 & ENTRY_CNT_MASK).astype(jnp.uint8)
-    return ((ops << 6) | cnts).astype(jnp.uint8), totals
+    """compact_entries_sparse with runs repacked to uint8 (op<<6|count,
+    valid when tb_limit <= 63 — see engine_xla._entries_to_u8) BEFORE the
+    log-shift passes, halving their traffic."""
+    from .engine_xla import _compact_flat_logshift, _entries_to_u8
+
+    maxw, ne3, b = entries.shape
+    flat = entries.reshape(maxw * ne3, b)
+    out, totals = _compact_flat_logshift(_entries_to_u8(flat), flat != 0,
+                                         cap)
+    return out.astype(jnp.uint8), totals

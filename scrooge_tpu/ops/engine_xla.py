@@ -459,82 +459,93 @@ def cumsum_log(x, axis: int = 0):
     return x
 
 
-def _searchsorted_windows(cum, cap: int):
-    """Per-lane searchsorted-right of g in cum[:, lane] for g < cap.
+def _compact_flat_logshift(flat, valid, cap: int):
+    """Compact each lane's valid rows (in order) into a dense prefix of
+    the flat axis, then slice the first ``cap`` rows.
 
-    cum: (MAXW, B) int32 inclusive prefix of per-window run counts.
-    Returns (w, e, g, lane_iota): window index and within-window run index
-    of global run g. All gathers are 32-bit flat jnp.take — sub-word
-    (u8/u16) gathers and take_along_axis on this shape both hit slow
-    paths on TPU."""
-    maxw, b = cum.shape
-    cum_flat = cum.reshape(-1)
-    g = jnp.arange(cap, dtype=jnp.int32)[:, None]  # (cap, 1)
-    lane = jnp.arange(b, dtype=jnp.int32)[None, :]
-    lo = jnp.zeros((cap, b), jnp.int32)
-    hi = jnp.full((cap, b), maxw, jnp.int32)
-    for _ in range(max(1, maxw.bit_length())):
-        mid = (lo + hi) >> 1
-        cmid = jnp.take(cum_flat, jnp.minimum(mid, maxw - 1) * b + lane)
-        go_right = cmid <= g
-        lo = jnp.where(go_right, mid + 1, lo)
-        hi = jnp.where(go_right, hi, mid)
-    w = jnp.minimum(lo, maxw - 1)
-    prev = jnp.where(w > 0, jnp.take(cum_flat, jnp.maximum(w - 1, 0) * b
-                                     + lane), 0)
-    return w, g - prev, g, lane
+    flat: (L, B) entry words (any integer dtype); valid: (L, B) bool.
+    Returns (out (cap, B), totals (B,) int32).
+
+    Entirely elementwise: the valid row at position r with j = vcum[r]-1
+    valid rows at-or-before it must move down by d = r - (vcum[r]-1), and
+    d is non-decreasing in r over valid rows — so LSB-first conditional
+    power-of-two down-shifts (move iff bit k of the remaining distance is
+    set) route every row to its slot without collisions (the
+    _pack_rows_dense argument: after the bit-<k passes the remaining
+    distances are the originals with low bits cleared, which preserves
+    ordering, and strictly increasing targets bound any same-parity
+    overtake below k). ~2·log2(L) passes over the run store. Replaces a
+    per-output-element binary search + gather whose (cap, B)-shaped
+    jnp.take's measured ~50x slower than these shifts at the headline
+    benchmark shape (gathers scalarize on TPU; shifted selects are pure
+    VPU traffic)."""
+    L, b = flat.shape
+    cdt = jnp.uint16 if L < 0xFFFF else jnp.int32
+    vcum = cumsum_log(valid.astype(cdt), axis=0)  # inclusive, (L, B)
+    totals = vcum[-1].astype(jnp.int32)
+    riota = jnp.arange(1, L + 1, dtype=cdt)[:, None]
+    dist = jnp.where(valid, riota - vcum, cdt(0))
+    ent = jnp.where(valid, flat, jnp.zeros((), flat.dtype))
+    k = 1
+    while k < L:
+        src_e = jnp.pad(ent, ((0, k), (0, 0)))[k:]
+        src_d = jnp.pad(dist, ((0, k), (0, 0)))[k:]
+        take = (src_d & cdt(k)) != 0
+        ent = jnp.where(take, src_e, ent)
+        dist = jnp.where(take, src_d - cdt(k), dist)
+        k *= 2
+    if cap > L:  # caller's bucket can exceed the worst-case store
+        ent = jnp.pad(ent, ((0, cap - L), (0, 0)))
+    g = jnp.arange(cap, dtype=jnp.int32)[:, None]
+    out = jnp.where(g < totals[None, :], ent[:cap],
+                    jnp.zeros((), flat.dtype))
+    return out, totals
 
 
-def _gather_runs(entries_dense, w, e, lane):
-    """entries_dense: (MAXW, NE, B) uint16 with each window's runs in a
-    dense prefix of its NE rows; returns run e of window w per lane as
-    int32. Row PAIRS are packed into one uint32 word first so the data
-    gather moves words, not uint16s (sub-word gathers cost ~16x more per
-    element on TPU)."""
-    maxw, ne, b = entries_dense.shape
-    if ne % 2:
-        entries_dense = jnp.pad(entries_dense, ((0, 0), (0, 1), (0, 0)))
-        ne += 1
-    half = ne // 2
-    lo16 = entries_dense[:, 0::2, :].astype(jnp.int32)
-    hi16 = entries_dense[:, 1::2, :].astype(jnp.int32)
-    packed = (lo16 | (hi16 << 16)).reshape(-1)
-    word = jnp.take(packed, (w * half + (e >> 1)) * b + lane)
-    return (word >> ((e & 1) << 4)) & 0xFFFF
+def _dense_valid(counts, ne: int):
+    """(MAXW, NE, B) validity mask for dense-prefix window rows: row e of
+    window w is a real run iff e < counts[w]."""
+    eiota = jnp.arange(ne, dtype=counts.dtype)[None, :, None]
+    return eiota < counts[:, None, :]
+
+
+def _entries_to_u8(entries):
+    """Repack uint16 runs (op << 12 | count) to uint8 (op << 6 | count).
+    Valid only when every run count fits 6 bits — true whenever
+    tb_limit <= 63, since a single run consumes at most tb_limit text or
+    pattern chars. Halves both the compaction traffic and the
+    device->host readback."""
+    ops = (entries >> ENTRY_OP_SHIFT).astype(jnp.uint8)
+    cnts = (entries & ENTRY_CNT_MASK).astype(jnp.uint8)
+    return (ops << 6) | cnts
 
 
 @functools.partial(jax.jit, static_argnums=(2,))
 def compact_entries(entries, counts, cap: int):
     """Concatenate each lane's valid per-window runs into (cap, B).
 
-    entries: (MAXW, NE, B) uint16, counts: (MAXW, B) int32. Output slot g of
+    entries: (MAXW, NE, B) uint16 with each window's runs in a dense
+    prefix of its NE rows; counts: (MAXW, B) int32. Output slot g of
     lane b holds the g-th CIGAR run of that pair; slots >= total are 0.
 
-    Implementation notes: a lane-last binary search over the window-count
-    prefix sums instead of a vmapped searchsorted — the vmap form forces a
-    lane-major transpose of the whole entries buffer. All hot ops avoid
-    three measured TPU cliffs: jnp.cumsum's O(MAXW)-pass lowering,
-    take_along_axis on (cap, B), and sub-32-bit gathers (see cumsum_log /
-    _searchsorted_windows / _gather_runs). Compacting on device also
-    shrinks the device->host readback ~30x (the run buffer is worst-case
-    sized; actual runs are few)."""
+    Log-shift compaction over the flattened (MAXW*NE) row axis — no
+    gathers at all (see _compact_flat_logshift). Compacting on device
+    also shrinks the device->host readback ~30x (the run buffer is
+    worst-case sized; actual runs are few)."""
     maxw, ne, b = entries.shape
-    cum = cumsum_log(counts)  # inclusive, (MAXW, B)
-    totals = cum[-1]
-    w, e, g, lane = _searchsorted_windows(cum, cap)
-    out = _gather_runs(entries, w, jnp.clip(e, 0, ne - 1), lane)
-    valid = g < totals[None, :]
-    return jnp.where(valid, out, 0).astype(jnp.uint16), totals
+    valid = _dense_valid(counts, ne).reshape(maxw * ne, b)
+    out, totals = _compact_flat_logshift(entries.reshape(maxw * ne, b),
+                                         valid, cap)
+    return out.astype(jnp.uint16), totals
 
 
 @functools.partial(jax.jit, static_argnums=(2,))
 def compact_entries_u8(entries, counts, cap: int):
-    """compact_entries + repack to uint8 (op << 6 | count).
-
-    Valid only when every run count fits 6 bits — true whenever
-    tb_limit <= 63, since a single run consumes at most tb_limit text or
-    pattern chars. Halves the device->host readback."""
-    out16, totals = compact_entries(entries, counts, cap)
-    ops = (out16 >> ENTRY_OP_SHIFT).astype(jnp.uint8)
-    cnts = (out16 & ENTRY_CNT_MASK).astype(jnp.uint8)
-    return ((ops << 6) | cnts).astype(jnp.uint8), totals
+    """compact_entries with the runs repacked to uint8 BEFORE compaction
+    (_entries_to_u8 precondition: tb_limit <= 63), so the log-shift
+    passes move half the bytes."""
+    maxw, ne, b = entries.shape
+    valid = _dense_valid(counts, ne).reshape(maxw * ne, b)
+    flat8 = _entries_to_u8(entries).reshape(maxw * ne, b)
+    out, totals = _compact_flat_logshift(flat8, valid, cap)
+    return out.astype(jnp.uint8), totals
