@@ -56,6 +56,15 @@ def main():
     results, stats = align_reads(ds.genome, ds.reads, cfg, return_stats=True)
     wall_s = time.perf_counter() - t0
 
+    # pipeline-consumer end-to-end: CIGARs stay packed (no host
+    # stringification; the reference's cigarlist_to_cigar step is likewise
+    # outside its timed kernel, genasm_gpu.cu:881-888)
+    t0 = time.perf_counter()
+    packed, pstats = align_reads(ds.genome, ds.reads, cfg,
+                                 return_stats=True, return_packed=True)
+    packed_wall_s = time.perf_counter() - t0
+    assert len(packed) == stats.num_pairs
+
     aligns_per_s = stats.aligns_per_second
     # equivalent giga-cell-updates/s at cells_per_pair = read_len^2, the
     # cross-aligner normalization the reference sweep uses
@@ -65,10 +74,12 @@ def main():
         f"# pairs={stats.num_pairs} core={stats.core_ns/1e9:.3f}s "
         f"wall={wall_s:.3f}s retried={stats.retried_pairs} "
         f"end_to_end={stats.num_pairs/wall_s:.1f} aligns/s "
+        f"end_to_end_packed={stats.num_pairs/packed_wall_s:.1f} aligns/s "
         f"gcups_equiv={gcups:.1f}",
         file=sys.stderr,
     )
     print(f"# {stats.breakdown()}", file=sys.stderr)
+    print(f"# packed: {pstats.breakdown()}", file=sys.stderr)
     print(json.dumps({
         "metric": "long_read_aligns_per_second",
         "value": round(aligns_per_s, 1),
@@ -76,6 +87,8 @@ def main():
         "vs_baseline": round(aligns_per_s / BASELINE_ALIGNS_PER_S, 4),
         "gcups_equivalent": round(gcups, 2),
         "end_to_end_aligns_per_second": round(stats.num_pairs / wall_s, 1),
+        "end_to_end_packed_aligns_per_second":
+            round(stats.num_pairs / packed_wall_s, 1),
     }))
 
 

@@ -31,7 +31,7 @@ from typing import List, Optional, Sequence, Tuple, Union
 import numpy as np
 
 from .config import AlignConfig
-from .datamodel import Alignment, Genome, Read
+from .datamodel import Alignment, Genome, PackedAlignments, Read
 from . import pyref
 
 # Mirrors genasm_cpu::enabled_algorithm_log (genasm_cpu.cpp:121); the
@@ -279,7 +279,7 @@ def _resolve_backend(cfg: AlignConfig, batch: int, n_dev: int = 1):
 
 
 def _build_alignments(cfg, res, stats, eds_host=None,
-                      sparse_rows=False, mesh=None):
+                      sparse_rows=False, mesh=None, packed_out=False):
     """Stringify device results and collect failures.
 
     The per-window run buffer is worst-case sized, so it is compacted on
@@ -289,6 +289,10 @@ def _build_alignments(cfg, res, stats, eds_host=None,
     (engine_pallas.compact_entries_sparse) over the dense engine_xla one.
     With ``mesh``, compaction runs shard_mapped so its flat-index binary
     searches stay device-local instead of becoming cross-device gathers.
+    With ``packed_out`` the formatting step is skipped entirely and the
+    third return value is ``(entries_u16, totals)`` — the packed-run
+    columns (cap, B) normalized to the uint16 op<<12|count layout — for
+    the return_packed API.
     """
     import jax.numpy as jnp
 
@@ -343,34 +347,98 @@ def _build_alignments(cfg, res, stats, eds_host=None,
         stats.readback_bytes += part.nbytes
         return part
 
+    def to_u16(part):
+        return (((part.astype(np.uint16) >> 6) << 12) | (part & 0x3F)
+                if use_u8 else part)
+
     def fmt_chunk(part, tots):
         out = fmt(part, tots)
         if out is None:  # native formatter bailed: numpy fallback
-            p16 = (((part.astype(np.uint16) >> 6) << 12) | (part & 0x3F)
-                   if use_u8 else part)
-            out = entries_to_cigars(p16, tots)
+            out = entries_to_cigars(to_u16(part), tots)
         return out
 
-    cigars = []
-    if native.get_lib() is None:
-        ent_np = np.asarray(compacted)
-        cigars = entries_to_cigars(ent_np, tot_np)
-    else:
+    payload: Union[List[str], tuple]
+    if packed_out:
+        # skip stringification: read the packed columns back (chunked so
+        # extraction overlaps the next chunk's d2h) and extract each
+        # lane's valid runs in LANE-MAJOR contiguous order — per-lane
+        # slices of the result are then contiguous views, so the final
+        # PackedAlignments concatenation is memcpy-speed (column views of
+        # the (cap, B) buffer stride B elements and concatenate ~10x
+        # slower)
+        flats = []
         with ThreadPoolExecutor(max_workers=1) as rb_pool:
             fut = rb_pool.submit(read_chunk, *chunks[0])
             for ci, (c0, c1) in enumerate(chunks):
                 part = fut.result()
                 if ci + 1 < len(chunks):
                     fut = rb_pool.submit(read_chunk, *chunks[ci + 1])
-                tf0 = time.perf_counter_ns()
-                cigars.extend(fmt_chunk(part, tot_np[c0:c1]))
-                stats.format_ns += time.perf_counter_ns() - tf0
+                lane_major = np.ascontiguousarray(to_u16(part).T)
+                t = tot_np[c0:c1]
+                m = np.arange(lane_major.shape[1])[None, :] < t[:, None]
+                flats.append(lane_major[m])
+        flat = flats[0] if len(flats) == 1 else np.concatenate(flats)
+        offs = np.zeros(B + 1, np.int64)
+        np.cumsum(tot_np, out=offs[1:])
+        payload = (flat, offs)
+    else:
+        cigars: List[str] = []
+        if native.get_lib() is None:
+            ent_np = np.asarray(compacted)
+            cigars = entries_to_cigars(to_u16(ent_np), tot_np)
+        else:
+            with ThreadPoolExecutor(max_workers=1) as rb_pool:
+                fut = rb_pool.submit(read_chunk, *chunks[0])
+                for ci, (c0, c1) in enumerate(chunks):
+                    part = fut.result()
+                    if ci + 1 < len(chunks):
+                        fut = rb_pool.submit(read_chunk, *chunks[ci + 1])
+                    tf0 = time.perf_counter_ns()
+                    cigars.extend(fmt_chunk(part, tot_np[c0:c1]))
+                    stats.format_ns += time.perf_counter_ns() - tf0
+        payload = cigars
     stats.postprocess_ns += time.perf_counter_ns() - t0
 
     eds = np.asarray(res.edit_distance) if eds_host is None else eds_host
     failed = np.asarray(res.failed)
     stats.count_fail_reasons(failed)
-    return eds, cigars, failed
+    return eds, payload, failed
+
+
+def _runs_from_cigar(cigar: str) -> np.ndarray:
+    """CIGAR string -> uint16 packed runs (retry-path pairs only; the
+    device lanes never round-trip through strings in packed mode)."""
+    from .cigar import parse_cigar
+
+    ops = PackedAlignments.OPS
+    out: List[int] = []
+    for count, op in parse_cigar(cigar):
+        code = ops.index(op) << 12
+        while count > 0x0FFF:
+            out.append(code | 0x0FFF)
+            count -= 0x0FFF
+        out.append(code | count)
+    return np.array(out, np.uint16)
+
+
+def _assemble_packed(results) -> PackedAlignments:
+    """Collect per-pair results — (ed, runs) tuples from the device path
+    or Alignment objects from retries/pyref — into one PackedAlignments."""
+    n = len(results)
+    eds = np.empty(n, np.int32)
+    offs = np.zeros(n + 1, np.int64)
+    parts = []
+    for i, r in enumerate(results):
+        if isinstance(r, Alignment):
+            runs = _runs_from_cigar(r.cigar)
+            ed = r.edit_distance
+        else:
+            ed, runs = r
+        eds[i] = ed
+        offs[i + 1] = offs[i] + len(runs)
+        parts.append(runs)
+    flat = np.concatenate(parts) if parts else np.empty(0, np.uint16)
+    return PackedAlignments(eds, offs, flat)
 
 
 def _retry_pyref(cfg, text_codes: np.ndarray, pattern_codes: np.ndarray,
@@ -484,12 +552,18 @@ def align_pairs(
     queries: Sequence[str],
     config: Optional[AlignConfig] = None,
     return_stats: bool = False,
+    return_packed: bool = False,
 ):
     """Unstructured pairwise interface (genasm_cpu.cpp:557-609 analogue).
 
     Aligns queries[i] semiglobally against texts[i]. Unlike the reference's
     CPU variant, returns ALL alignments (the reference drops every other
     pair — known upstream bug, genasm_cpu.cpp:600-604, not replicated).
+
+    return_packed=True returns a PackedAlignments instead of a list of
+    Alignment: CIGARs stay in the device engines' packed-run form, skipping
+    host-side stringification (the cigarlist_to_cigar role the reference
+    also runs outside its timed kernel, genasm_gpu.cu:881-888).
     """
     cfg = config or AlignConfig()
     if len(texts) != len(queries):
@@ -498,20 +572,21 @@ def align_pairs(
 
     if cfg.backend == "pyref":
         out = _pyref_align_pairs(texts, queries, cfg, stats)
+        if return_packed:
+            out = _assemble_packed(out)
         _log_throughput(stats)
         return (out, stats) if return_stats else out
 
+    from . import native
     from .ops import engine_pallas, engine_xla
 
     mesh = _resolve_mesh(cfg)
     n_dev = int(mesh.devices.size) if mesh is not None else 1
     engine, sk, kw = _resolve_backend(cfg, cfg.batch_tile, n_dev)
 
-    tp0 = time.perf_counter_ns()
-    text_codes = [encode_np(t) for t in texts]
-    query_codes = [encode_np(q) for q in queries]
-    stats.prep_ns += time.perf_counter_ns() - tp0
-
+    # sequences are encoded lazily per tile (fused C++ ASCII->2-bit->pack
+    # when available); validation therefore happens tile by tile, and the
+    # retry path re-encodes the few failed pairs from the strings
     order = sorted(range(len(texts)), key=lambda i: -len(queries[i]))
     results: List[Optional[Alignment]] = [None] * len(texts)
     retry_items: List[tuple] = []
@@ -528,9 +603,9 @@ def align_pairs(
         for t0 in range(0, len(order), tile_size):
             idxs = order[t0 : t0 + tile_size]
             B = tile_size
-            longest = max((len(query_codes[i]) for i in idxs), default=1) or 1
+            longest = max((len(queries[i]) for i in idxs), default=1) or 1
             P = _bucket_lin(longest, 1024)
-            T = _bucket_lin(max((len(text_codes[i]) for i in idxs), default=1) or 1,
+            T = _bucket_lin(max((len(texts[i]) for i in idxs), default=1) or 1,
                             1024)
             # window count from the ACTUAL longest read, not the padded bucket
             # (the pad can be ~2x the data; windows cost real device time),
@@ -540,17 +615,25 @@ def align_pairs(
             tp0 = time.perf_counter_ns()
             tlen = np.zeros(B, np.int32)
             plen = np.zeros(B, np.int32)
-            tlen[: len(idxs)] = np.fromiter((len(text_codes[i]) for i in idxs),
+            tlen[: len(idxs)] = np.fromiter((len(texts[i]) for i in idxs),
                                             np.int32, len(idxs))
-            plen[: len(idxs)] = np.fromiter((len(query_codes[i]) for i in idxs),
+            plen[: len(idxs)] = np.fromiter((len(queries[i]) for i in idxs),
                                             np.int32, len(idxs))
             stats.prep_ns += time.perf_counter_ns() - tp0
 
-            def build_rows(codes, width):
-                def build(c0, c1, idxs=idxs, width=width, codes=codes):
+            def build_rows(seqs, width):
+                def build(c0, c1, idxs=idxs, width=width, seqs=seqs):
+                    # pad-lane rows ("" -> all-zero) keep the tile full
+                    contents = [seqs[i] for i in idxs[c0:c1]]
+                    contents += [""] * ((c1 - c0) - len(contents))
+                    out = (native.encode_pack_strs(contents, width)
+                           if engine == "pallas"
+                           else native.encode_strs(contents, width))
+                    if out is not None:
+                        return out
                     rows = np.zeros((c1 - c0, width), np.uint8)
                     for r, i in enumerate(idxs[c0:c1]):
-                        v = codes[i]
+                        v = encode_np(seqs[i])
                         rows[r, : len(v)] = v
                     return (engine_pallas.pack_2bit_host(rows)
                             if engine == "pallas" else rows)
@@ -558,17 +641,17 @@ def align_pairs(
 
             if mesh is None:
                 text_dev = _upload_rows_chunked(stats, B,
-                                                build_rows(text_codes, T))
+                                                build_rows(texts, T))
                 pattern_dev = _upload_rows_chunked(stats, B,
-                                                  build_rows(query_codes, P))
+                                                  build_rows(queries, P))
                 small = _device_put_synced(tlen, plen, stats=stats)
                 args = (text_dev, small[0], pattern_dev, small[1])
             else:
                 from .parallel import mesh as mesh_mod
 
                 tp0 = time.perf_counter_ns()
-                text_np = _build_rows_np(B, build_rows(text_codes, T))
-                pattern_np = _build_rows_np(B, build_rows(query_codes, P))
+                text_np = _build_rows_np(B, build_rows(texts, T))
+                pattern_np = _build_rows_np(B, build_rows(queries, P))
                 stats.prep_ns += time.perf_counter_ns() - tp0
                 sh2 = mesh_mod.pair_sharding(mesh, 0, 2)
                 sh1 = mesh_mod.pair_sharding(mesh, 0, 1)
@@ -596,14 +679,20 @@ def align_pairs(
                 # shape — prep/H2D of n+1 ∥ compute of n ∥ postprocess of n-1)
                 eds_host = np.asarray(res.edit_distance)
                 stats.core_ns += time.perf_counter_ns() - tns
-                eds, cigars, failed = _build_alignments(
+                eds, payload, failed = _build_alignments(
                     cfg, res, stats, eds_host,
-                    sparse_rows=(engine == "pallas"), mesh=mesh)
+                    sparse_rows=(engine == "pallas"), mesh=mesh,
+                    packed_out=return_packed)
+                flat, offs = payload if return_packed else (None, None)
                 for lane, i in enumerate(idxs):
                     if failed[lane]:
-                        retry_items.append((i, text_codes[i], query_codes[i]))
+                        retry_items.append((i, encode_np(texts[i]),
+                                            encode_np(queries[i])))
+                    elif return_packed:
+                        results[i] = (int(eds[lane]),
+                                      flat[offs[lane] : offs[lane + 1]])
                     else:
-                        results[i] = Alignment(cigar=cigars[lane],
+                        results[i] = Alignment(cigar=payload[lane],
                                                edit_distance=int(eds[lane]))
 
             if pending is not None:
@@ -623,6 +712,10 @@ def align_pairs(
             pool.shutdown(wait=True, cancel_futures=True)
     _retry_batched_xla(cfg, retry_items, stats, results, mesh,
                        engine)
+    if return_packed:
+        packed = _assemble_packed(results)
+        _log_throughput(stats)
+        return (packed, stats) if return_stats else packed
     _log_throughput(stats)
     return (results, stats) if return_stats else results
 
@@ -632,6 +725,7 @@ def align_reads(
     reads: Sequence[Read],
     config: Optional[AlignConfig] = None,
     return_stats: bool = False,
+    return_packed: bool = False,
 ):
     """Read-mapping interface (genasm_cpu.cpp:495-555 analogue).
 
@@ -639,6 +733,8 @@ def align_reads(
     reference genome is uploaded once as a flat 2-bit-coded device array
     and all window text is gathered from it by global offset — no per-pair
     text copies (the reference's shared-reference property, README.md:83-86).
+
+    return_packed=True returns PackedAlignments (see align_pairs).
     """
     import jax.numpy as jnp
 
@@ -674,9 +770,12 @@ def align_reads(
                     f"edits per window (W={cfg.W})") from e
             out.append(Alignment(cigar=cigar, edit_distance=ed))
         stats.core_ns += time.perf_counter_ns() - tc0
+        if return_packed:
+            out = _assemble_packed(out)
         _log_throughput(stats)
         return (out, stats) if return_stats else out
 
+    from . import native
     from .ops import engine_pallas, engine_xla
 
     mesh = _resolve_mesh(cfg)
@@ -684,8 +783,7 @@ def align_reads(
     engine, sk, kw = _resolve_backend(cfg, cfg.batch_tile, n_dev)
 
     tp0 = time.perf_counter_ns()
-    genome_codes = encode_np(reference.content)
-    glen = len(genome_codes)
+    glen = len(reference.content)
     if glen > 0xFFFFFFFF:
         # the device gather path indexes the genome with uint32 char
         # offsets; silently wrapping would align reads at wrong loci
@@ -700,21 +798,31 @@ def align_reads(
     if engine == "pallas":
         # 2-bit packed words: the genome uploads once at 1/4 the bytes and
         # window gathers pull whole words (engine_pallas docstring).
-        # Packed in chunks through pack_2bit_host (native C++ when built):
-        # peak host memory stays ~1.25 bytes/base even for human-scale
+        # Fused ASCII->packed-words in one C++ pass (native.encode_pack_strs)
+        # keeps peak host memory at ~1.25 bytes/base even for human-scale
         # genomes, instead of ~8 bytes/base for a whole-genome uint32 blow-up.
-        packed = np.zeros(gpad // 16, np.uint32)
-        CHUNK = 1 << 24  # chars per chunk (multiple of 16)
-        for s in range(0, glen, CHUNK):
-            chunk = genome_codes[s : s + CHUNK]
-            if len(chunk) % 16:
-                chunk = np.pad(chunk, (0, 16 - len(chunk) % 16))
-            packed[s // 16 : s // 16 + len(chunk) // 16] = \
-                engine_pallas.pack_2bit_host(chunk[None, :])[0]
-        genome_host = packed
+        packed = native.encode_pack_strs([reference.content], gpad)
+        if packed is not None:
+            genome_host = packed[0]
+        else:  # no compiler: numpy fallback, chunked to bound peak temps
+            genome_codes = encode_np(reference.content)
+            packed = np.zeros(gpad // 16, np.uint32)
+            CHUNK = 1 << 24  # chars per chunk (multiple of 16)
+            for s in range(0, glen, CHUNK):
+                chunk = genome_codes[s : s + CHUNK]
+                if len(chunk) % 16:
+                    chunk = np.pad(chunk, (0, 16 - len(chunk) % 16))
+                packed[s // 16 : s // 16 + len(chunk) // 16] = \
+                    engine_pallas.pack_2bit_host(chunk[None, :])[0]
+            genome_host = packed
     else:
-        genome_host = (np.pad(genome_codes, (0, gpad - glen))
-                       if gpad != glen else genome_codes)
+        rows = native.encode_strs([reference.content], gpad)
+        if rows is not None:
+            genome_host = rows[0]
+        else:
+            genome_codes = encode_np(reference.content)
+            genome_host = (np.pad(genome_codes, (0, gpad - glen))
+                           if gpad != glen else genome_codes)
     if mesh is not None:
         # replicate ONCE: the per-tile device_put inside the mesh helpers
         # then no-ops on the already-committed array (re-broadcasting a
@@ -772,6 +880,17 @@ def align_reads(
             stats.prep_ns += time.perf_counter_ns() - tp0
 
             def build_pattern_rows(c0, c1, idxs=idxs, P=P):
+                # fused C++ encode+pack when available: one pass over the
+                # ASCII, no uint8 intermediate (prep was the largest host
+                # cost at the headline batch before this); pad-lane rows
+                # ("" -> all-zero) keep the tile full
+                contents = [pairs[i][1].content for i in idxs[c0:c1]]
+                contents += [""] * ((c1 - c0) - len(contents))
+                out = (native.encode_pack_strs(contents, P)
+                       if engine == "pallas"
+                       else native.encode_strs(contents, P))
+                if out is not None:
+                    return out
                 rows = np.zeros((c1 - c0, P), np.uint8)
                 for r, i in enumerate(idxs[c0:c1]):
                     q = encode_np(pairs[i][1].content)
@@ -818,17 +937,23 @@ def align_reads(
                 # upload_ns; the single-tile bench keeps a clean kernel split.
                 eds_host = np.asarray(res.edit_distance)
                 stats.core_ns += time.perf_counter_ns() - tns
-                eds, cigars, failed = _build_alignments(
+                eds, payload, failed = _build_alignments(
                     cfg, res, stats, eds_host,
-                    sparse_rows=(engine == "pallas"), mesh=mesh)
+                    sparse_rows=(engine == "pallas"), mesh=mesh,
+                    packed_out=return_packed)
+                flat, offs = payload if return_packed else (None, None)
                 for lane, i in enumerate(idxs):
                     if failed[lane]:
                         start = pairs[i][0]
                         end = min(glen, start + int(tlen[lane]))
-                        retry_items.append((i, genome_codes[start:end],
-                                            encode_np(pairs[i][1].content)))
+                        retry_items.append(
+                            (i, encode_np(reference.content[start:end]),
+                             encode_np(pairs[i][1].content)))
+                    elif return_packed:
+                        results[i] = (int(eds[lane]),
+                                      flat[offs[lane] : offs[lane + 1]])
                     else:
-                        results[i] = Alignment(cigar=cigars[lane],
+                        results[i] = Alignment(cigar=payload[lane],
                                                edit_distance=int(eds[lane]))
 
             # overlap host post-processing of this tile with the next tile's
@@ -850,6 +975,10 @@ def align_reads(
             pool.shutdown(wait=True, cancel_futures=True)
     _retry_batched_xla(cfg, retry_items, stats, results, mesh,
                        engine)
+    if return_packed:
+        packed = _assemble_packed(results)
+        _log_throughput(stats)
+        return (packed, stats) if return_stats else packed
     _log_throughput(stats)
     return (results, stats) if return_stats else results
 

@@ -385,17 +385,149 @@ def _rle(ops) -> str:
     return "".join(out)
 
 
-def edlib_semiglobal(text: str, query: str) -> int:
-    """Third-party cross-check: semiglobal edit distance via the `edlib`
-    PyPI package (EDLIB_MODE_SHW, the mode the reference drives it in,
-    cpu_baseline.cpp:355). Optional dependency: raises ImportError when
-    edlib is not installed; tests/test_baselines.py skips then."""
-    import edlib
+# --- third-party edlib (real library, not a reimplementation) ------------
+# The reference links the vendored edlib sources directly
+# (baseline_algorithms/edlib, Makefile:19-20) and races it in SHW mode
+# (cpu_baseline.cpp:355). Here the same third-party sources are compiled
+# on demand into a shared library OUTSIDE the repo tree (nothing vendored)
+# and bound with ctypes; the PyPI `edlib` package is used instead when
+# installed. Source dir: $SCROOGE_EDLIB_SRC, default the reference
+# checkout's baseline_algorithms/edlib.
 
+_EDLIB_DEFAULT_SRC = "/root/reference/baseline_algorithms/edlib"
+_edlib_lib_cache: list = []  # [lib-or-None] once resolved
+
+
+def _edlib_lib():
+    import ctypes
+    import hashlib
+    import os
+    import subprocess
+    import tempfile
+
+    if _edlib_lib_cache:
+        return _edlib_lib_cache[0]
+    src_dir = os.environ.get("SCROOGE_EDLIB_SRC", _EDLIB_DEFAULT_SRC)
+    cpp = os.path.join(src_dir, "edlib.cpp")
+    lib = None
+    if os.path.exists(cpp):
+        tag = hashlib.sha1(cpp.encode()).hexdigest()[:12]
+        so = os.path.join(tempfile.gettempdir(), f"scrooge_edlib_{tag}.so")
+        try:
+            if not os.path.exists(so):
+                subprocess.run(
+                    ["g++", "-O2", "-shared", "-fPIC", "-std=c++17",
+                     "-I", src_dir, cpp, "-o", so + ".tmp"],
+                    check=True, capture_output=True, timeout=300)
+                os.replace(so + ".tmp", so)
+            lib = ctypes.CDLL(so)
+        except (OSError, subprocess.SubprocessError):
+            lib = None
+    if lib is not None:
+        class _Cfg(ctypes.Structure):
+            _fields_ = [("k", ctypes.c_int), ("mode", ctypes.c_int),
+                        ("task", ctypes.c_int),
+                        ("additionalEqualities", ctypes.c_void_p),
+                        ("additionalEqualitiesLength", ctypes.c_int)]
+
+        class _Res(ctypes.Structure):
+            _fields_ = [("status", ctypes.c_int),
+                        ("editDistance", ctypes.c_int),
+                        ("endLocations", ctypes.POINTER(ctypes.c_int)),
+                        ("startLocations", ctypes.POINTER(ctypes.c_int)),
+                        ("numLocations", ctypes.c_int),
+                        ("alignment", ctypes.POINTER(ctypes.c_ubyte)),
+                        ("alignmentLength", ctypes.c_int),
+                        ("alphabetLength", ctypes.c_int)]
+
+        lib._Cfg, lib._Res = _Cfg, _Res
+        lib.edlibAlign.restype = _Res
+        lib.edlibAlign.argtypes = [ctypes.c_char_p, ctypes.c_int,
+                                   ctypes.c_char_p, ctypes.c_int, _Cfg]
+        lib.edlibFreeAlignResult.restype = None
+        lib.edlibFreeAlignResult.argtypes = [_Res]
+    _edlib_lib_cache.append(lib)
+    return lib
+
+
+def edlib_available() -> bool:
+    """True when a real edlib is reachable (PyPI package or compiled
+    from the reference's vendored third-party sources)."""
+    try:
+        import edlib  # noqa: F401
+
+        return True
+    except ImportError:
+        return _edlib_lib() is not None
+
+
+def _edlib_ctypes_align(text: str, query: str, task: int):
+    """(edit_distance, move-code bytes or None) via the ctypes binding.
+    Moves: 0 match, 1 consume-query (I), 2 consume-text (D), 3 mismatch
+    (edlib.h EDLIB_EDOP_*)."""
+    lib = _edlib_lib()
+    cfg = lib._Cfg(-1, 1, task, None, 0)  # k=auto, EDLIB_MODE_SHW
+    q = query.encode("ascii")
+    t = text.encode("ascii")
+    res = lib.edlibAlign(q, len(q), t, len(t), cfg)
+    try:
+        if res.status != 0:
+            raise RuntimeError("edlibAlign failed")
+        ed = int(res.editDistance)
+        moves = (bytes(res.alignment[: res.alignmentLength])
+                 if task == 2 and res.alignmentLength > 0 else None)
+    finally:
+        lib.edlibFreeAlignResult(res)
+    return ed, moves
+
+
+def edlib_semiglobal(text: str, query: str) -> int:
+    """Third-party cross-check: semiglobal edit distance through a real
+    edlib (EDLIB_MODE_SHW, the mode the reference drives it in,
+    cpu_baseline.cpp:355). Uses the PyPI package if installed, else the
+    on-demand ctypes build (_edlib_lib); raises ImportError when neither
+    exists (tests skip then)."""
     if len(query) == 0:
         return 0
-    r = edlib.align(query, text, mode="SHW", task="distance")
-    return int(r["editDistance"])
+    try:
+        import edlib
+
+        r = edlib.align(query, text, mode="SHW", task="distance")
+        return int(r["editDistance"])
+    except ImportError:
+        if _edlib_lib() is None:
+            raise
+        return _edlib_ctypes_align(text, query, 0)[0]
+
+
+_EDLIB_OPS = "=IDX"  # move code -> extended CIGAR op (edlib.h EDLIB_EDOP_*)
+
+
+def edlib_semiglobal_cigar(text: str, query: str) -> Tuple[int, str]:
+    """Semiglobal (SHW) edit distance + extended CIGAR via the real edlib
+    (EDLIB_TASK_PATH — the reference's accuracy path, edlib_to_alignment,
+    cpu_baseline.cpp:294-305). ctypes build only (the PyPI package also
+    works but this keeps one code path); ImportError when unavailable."""
+    if len(query) == 0:
+        return 0, ""
+    if len(text) == 0:  # edlib returns no path for an empty target
+        return len(query), f"{len(query)}I"
+    if _edlib_lib() is None:
+        raise ImportError("no edlib available (set SCROOGE_EDLIB_SRC)")
+    ed, moves = _edlib_ctypes_align(text, query, 2)
+    out = []
+    prev, cnt = "", 0
+    for mv in moves or b"":
+        op = _EDLIB_OPS[mv]
+        if op == prev:
+            cnt += 1
+            continue
+        if cnt:
+            out.append(f"{cnt}{prev}")
+        prev, cnt = op, 1
+    if cnt:
+        out.append(f"{cnt}{prev}")
+    return ed, "".join(out)
 
 
 def local_affine(text: str, query: str, match: int = 2, mismatch: int = 4,

@@ -60,7 +60,7 @@ ALLOWED = ["--reference", "--reads", "--seeds", "--threads", "--algorithms",
            "--scoring", "--simulated", "--verbose", "--accuracy", "--cigar",
            "--help"]
 ALL_ALGS = ["genasm_device", "genasm_xla", "genasm_pyref", "exact",
-            "affine", "banded", "wfa", "wfa_lm", "gact", "sw"]
+            "affine", "banded", "wfa", "wfa_lm", "gact", "sw", "edlib"]
 
 
 def _load(args):
@@ -85,7 +85,7 @@ def _load(args):
 
 def _align_with(alg: str, genome, reads, tile: int):
     if alg in ("exact", "affine", "banded", "wfa", "wfa_lm", "gact",
-               "sw"):
+               "sw", "edlib"):
         out: List[Alignment] = []
         t0 = time.perf_counter_ns()
         for read in reads:
@@ -126,6 +126,10 @@ def _align_with(alg: str, genome, reads, tile: int):
 
                     cg = gact_tiled(text, read.content)
                     ed = edits_in_cigar(cg)
+                elif alg == "edlib":
+                    from ..baselines import edlib_semiglobal_cigar
+
+                    ed, cg = edlib_semiglobal_cigar(text, read.content)
                 else:
                     _, cg = affine_semiglobal(text, read.content)
                     from ..cigar import edits_in_cigar

@@ -52,6 +52,11 @@ class AlignConfig:
     # genasm_gpu.cu:583-629).
     batch_tile: int = 1024  # 8 sublanes x 128 lanes: dense VPU tiles
     backend: str = "auto"  # "auto" | "xla" | "pallas" | "pyref"
+    # Pallas-engine per-window d-search cap override (see tb_cap below);
+    # 0 = auto (min(K, 32)). A kernel performance/VMEM knob: raising it
+    # trades VMEM + fill iterations for fewer retry-cliff lanes on
+    # high-error (ONT-like) inputs.
+    tb_cap_override: int = 0
 
     def __post_init__(self):
         if self.W < 2:
@@ -62,6 +67,8 @@ class AlignConfig:
             raise ValueError("K must be >= 1")
         if self.batch_tile % 128 != 0:
             raise ValueError("batch_tile must be a multiple of 128 (TPU lanes)")
+        if not 0 <= self.tb_cap_override <= self.K:
+            raise ValueError("tb_cap_override must be in [0, K]")
 
     # ---- derived quantities (names follow genasm_cpu.cpp:44-84) ----
 
@@ -84,11 +91,16 @@ class AlignConfig:
         """Device-engine cap on per-window edit distance (Pallas engine
         only): DP rows stored for traceback and d-levels searched. A
         window that finds no alignment within tb_cap edits fails its lane
-        to the bit-exact scalar retry path — at min(K, 32) that is
-        unreachable for realistic read accuracies (P[window edit distance
-        > 32] < 1e-9 even at 80% accuracy) while keeping the R scratch and
-        the traceback-row buffers small. The XLA engine always searches
-        the full K (it is the fallback the retry path relies on)."""
+        to the bit-exact batched-XLA/scalar retry path — at min(K, 32)
+        that is unreachable for realistic read accuracies (P[window edit
+        distance > 32] < 1e-9 even at 80% accuracy) while keeping the R
+        scratch and the traceback-row buffers small. ``tb_cap_override``
+        raises/lowers it explicitly (the retry-cliff knob for high-error
+        inputs; swept by profiling/sweep.py). The XLA engine always
+        searches the full K (it is the fallback the retry path relies
+        on)."""
+        if self.tb_cap_override:
+            return min(self.tb_cap_override, self.K)
         return min(self.K, 32)
 
     @property

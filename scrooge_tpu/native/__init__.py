@@ -75,6 +75,14 @@ def get_lib():
         lib.format_cigars8.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
+        lib.encode_pack_rows.restype = ctypes.c_int
+        lib.encode_pack_rows.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p]
+        lib.encode_rows.restype = ctypes.c_int
+        lib.encode_rows.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -169,6 +177,62 @@ def pack_2bit_rows(codes: np.ndarray) -> Optional[np.ndarray]:
     Tw = -(-T // 16)
     out = np.empty((rows, Tw), np.uint32)
     lib.pack_2bit_rows(codes.ctypes.data, rows, T, out.ctypes.data)
+    return out
+
+
+def _encode_strs_common(contents):
+    """Concatenate sequences into one ASCII buffer + row starts/lens.
+
+    Raises the same ValueError class as api.encode_np for non-ASCII input
+    (UnicodeEncodeError is a ValueError)."""
+    joined = "".join(contents).encode("ascii")
+    lens = np.fromiter((len(c) for c in contents), np.int64,
+                       len(contents)) if contents else np.empty(0, np.int64)
+    starts = np.zeros(len(contents), np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    buf = np.frombuffer(joined, np.uint8)
+    return joined, buf, starts, lens
+
+
+def _raise_bad(joined: bytes, bad_pos: int):
+    raise ValueError(
+        f"non-ACGT character in sequence: {chr(joined[bad_pos])!r}")
+
+
+def encode_pack_strs(contents, width: int) -> Optional[np.ndarray]:
+    """Fused ASCII -> 2-bit -> packed-word rows: (len(contents),
+    ceil(width/16)) uint32, one C++ pass (ascii_to_zero_based_string +
+    2-bit packing, genasm_cpu.cpp:462-493 / genasm_gpu.cu:640-685, fused).
+    None if the native lib is unavailable; ValueError on non-ACGT."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    joined, buf, starts, lens = _encode_strs_common(contents)
+    Pw = -(-width // 16)
+    out = np.empty((len(contents), Pw), np.uint32)
+    bad = np.zeros(1, np.int64)
+    rc = lib.encode_pack_rows(buf.ctypes.data, starts.ctypes.data,
+                              lens.ctypes.data, len(contents), Pw,
+                              out.ctypes.data, bad.ctypes.data)
+    if rc != 0:
+        _raise_bad(joined, int(bad[0]))
+    return out
+
+
+def encode_strs(contents, width: int) -> Optional[np.ndarray]:
+    """ASCII -> 2-bit code rows (len(contents), width) uint8, zero-padded,
+    one C++ pass. None if the native lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    joined, buf, starts, lens = _encode_strs_common(contents)
+    out = np.empty((len(contents), width), np.uint8)
+    bad = np.zeros(1, np.int64)
+    rc = lib.encode_rows(buf.ctypes.data, starts.ctypes.data,
+                         lens.ctypes.data, len(contents), width,
+                         out.ctypes.data, bad.ctypes.data)
+    if rc != 0:
+        _raise_bad(joined, int(bad[0]))
     return out
 
 

@@ -127,6 +127,80 @@ void pack_2bit_rows(const uint8_t* codes, int64_t rows, int64_t T,
     }
 }
 
+// Fused ASCII -> 2-bit encode + pack for variable-length rows
+// (ascii_to_zero_based_string + TwoBitArray packing in one pass; the
+// reference does these as separate host/device steps, genasm_cpu.cpp:462-493
+// and genasm_gpu.cu:640-685). ascii holds the concatenated sequences; row r
+// occupies bytes [starts[r], starts[r] + lens[r]). out is rows x Pw uint32,
+// char k of a word in bits [2k, 2k+2), tail words zero-filled. Returns 0 on
+// success, -1 with *bad_pos = ascii index of the first non-ACGT byte.
+static const uint8_t* encode_lut() {
+    static uint8_t lut[256];
+    static bool init = false;
+    if (!init) {
+        for (int i = 0; i < 256; i++) lut[i] = 0xFF;
+        lut['A'] = lut['a'] = 0; lut['C'] = lut['c'] = 1;
+        lut['G'] = lut['g'] = 2; lut['T'] = lut['t'] = 3;
+        init = true;
+    }
+    return lut;
+}
+
+int encode_pack_rows(const uint8_t* ascii, const int64_t* starts,
+                     const int64_t* lens, int64_t rows, int64_t Pw,
+                     uint32_t* out, int64_t* bad_pos) {
+    const uint8_t* lut = encode_lut();
+    for (int64_t r = 0; r < rows; r++) {
+        const uint8_t* src = ascii + starts[r];
+        int64_t n = lens[r];
+        uint32_t* dst = out + r * Pw;
+        int64_t nw = (n + 15) / 16;
+        if (nw > Pw) nw = Pw;
+        for (int64_t w = 0; w < nw; w++) {
+            uint32_t acc = 0;
+            int64_t base = w * 16;
+            int64_t hi = n - base < 16 ? n - base : 16;
+            uint8_t bad = 0;
+            for (int64_t k = 0; k < hi; k++) {
+                uint8_t code = lut[src[base + k]];
+                bad |= code;
+                acc |= (uint32_t)(code & 3) << (2 * k);
+            }
+            if (bad & 0xFC) {  // some code was 0xFF: locate it exactly
+                for (int64_t k = 0; k < hi; k++) {
+                    if (lut[src[base + k]] == 0xFF) {
+                        *bad_pos = starts[r] + base + k;
+                        return -1;
+                    }
+                }
+            }
+            dst[w] = acc;
+        }
+        for (int64_t w = nw; w < Pw; w++) dst[w] = 0;
+    }
+    return 0;
+}
+
+// Unpacked variant for the XLA engine (uint8 code rows, width P,
+// zero-padded). Same contract as encode_pack_rows otherwise.
+int encode_rows(const uint8_t* ascii, const int64_t* starts,
+                const int64_t* lens, int64_t rows, int64_t P,
+                uint8_t* out, int64_t* bad_pos) {
+    const uint8_t* lut = encode_lut();
+    for (int64_t r = 0; r < rows; r++) {
+        const uint8_t* src = ascii + starts[r];
+        int64_t n = lens[r] < P ? lens[r] : P;
+        uint8_t* dst = out + r * P;
+        for (int64_t k = 0; k < n; k++) {
+            uint8_t code = lut[src[k]];
+            if (code == 0xFF) { *bad_pos = starts[r] + k; return -1; }
+            dst[k] = code;
+        }
+        memset(dst + n, 0, (size_t)(P - n));
+    }
+    return 0;
+}
+
 // uint8 packed-run layout (op << 6 | count, count <= 63): used when the
 // config's tb_limit bounds run lengths under 64, halving the
 // device->host readback.

@@ -1065,6 +1065,11 @@ def _pack_rows_dense(entries):
     """Stable-compact each window's valid (nonzero) sparse rows into a
     dense prefix along the row axis.
 
+    NOT on the production path (compact_entries_sparse flattens straight
+    into engine_xla._compact_flat_logshift); retained, with its oracle
+    test, as the documented proof-of-argument for the log-shift routing
+    both compactors share (engine_xla._compact_flat_logshift cites it).
+
     entries: (MAXW, NE3, B) uint16, empty slots 0. A valid row at position
     r with j-1 valid rows above it must shift down by d = r+1 - vcum[r],
     and d is non-decreasing in r — so a log-depth sequence of

@@ -17,12 +17,27 @@ mistaken for chip scaling.
 Usage:
   JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
     python -m scrooge_tpu.profiling.scaling --out profile/scaling.csv
+
+Multi-HOST mode (--distributed N): launches N real jax.distributed
+processes on this machine (CPU + gloo collectives, the
+parallel/distributed.py path) and measures weak-scaling efficiency of the
+full read-mapping pipeline at 1 and N processes — the launch-ready harness
+for the >=80%-efficiency-at-2-hosts BASELINE.json target. On an actual
+multi-host TPU pod, run the worker on every host through the pod launcher
+instead:
+
+  python -m scrooge_tpu.profiling.scaling --dist_worker \
+      $PID $NPROCS $COORDINATOR_PORT --per_process 32768
+
+(any jax.distributed-recognized cluster env also works with pid/nprocs
+auto-detected by dist.initialize).
 """
 
 from __future__ import annotations
 
 import argparse
 import csv
+import json
 import sys
 import time
 
@@ -91,6 +106,93 @@ def measure(engine: str, per_device: int, read_len: int, reps: int):
     return rows
 
 
+def _dist_worker(pid: int, nproc: int, port: str, per_process: int,
+                 read_len: int) -> int:
+    """One jax.distributed process of the multi-host harness: aligns its
+    round-robin pair shard of a deterministic dataset through the FULL
+    read-mapping pipeline (api.align_reads), barriers around the timed
+    section, and (process 0) prints one JSON result line."""
+    from ..parallel import distributed as dist
+
+    dist.initialize(coordinator_address=f"127.0.0.1:{port}",
+                    num_processes=nproc, process_id=pid)
+    import jax
+    from jax.experimental import multihost_utils as mhu
+
+    from .. import api
+    from ..config import AlignConfig
+    from ..utils.simulate import simulate_dataset
+
+    total_pairs = per_process * nproc
+    ds = simulate_dataset(genome_len=200_000, num_reads=total_pairs,
+                          read_len=read_len, accuracy=0.95, seed=23)
+    cfg = AlignConfig(W=64, K=64, O=33,
+                      batch_tile=max(128, min(per_process, 2048)))
+    local_reads, _ = dist.shard_reads(ds.reads)
+    # warmup compile outside the timed window
+    api.align_reads(ds.genome, local_reads[: cfg.batch_tile], cfg)
+    mhu.sync_global_devices("scaling_start")
+    t0 = time.perf_counter()
+    api.align_reads(ds.genome, local_reads, cfg)
+    local_dt = time.perf_counter() - t0
+    mhu.sync_global_devices("scaling_end")
+    wall = time.perf_counter() - t0  # includes the straggler barrier
+    times = mhu.process_allgather(np.array([local_dt]))
+    if jax.process_index() == 0:
+        print(json.dumps({
+            "platform": jax.default_backend(), "processes": nproc,
+            "per_process": per_process, "total_pairs": total_pairs,
+            "read_len": read_len,
+            "aligns_per_second": round(total_pairs / wall, 1),
+            "slowest_process_s": round(float(np.asarray(times).max()), 4),
+        }))
+    return 0
+
+
+def run_distributed(nproc_max: int, per_process: int, read_len: int,
+                    out: str) -> int:
+    """Launch 1- and N-process jax.distributed runs of _dist_worker on
+    this machine (CPU + gloo) and record weak-scaling efficiency — the
+    2-hosts-in-one-command harness for the BASELINE.json >=80% target.
+    On a real pod, skip this launcher and start --dist_worker per host."""
+    import os
+    import socket
+    import subprocess
+
+    rows = []
+    base_aps = None
+    for n in sorted({1, nproc_max}):
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+        env = dict(os.environ, JAX_PLATFORMS="cpu", XLA_FLAGS="",
+                   PALLAS_AXON_POOL_IPS="")
+        procs = [subprocess.Popen(
+            [sys.executable, "-m", "scrooge_tpu.profiling.scaling",
+             "--dist_worker", f"{p}:{n}:{port}",
+             "--per_process", str(per_process),
+             "--read_len", str(read_len)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+            text=True) for p in range(n)]
+        outs = [pr.communicate()[0] for pr in procs]
+        if any(pr.returncode for pr in procs):
+            raise RuntimeError(f"distributed run at n={n} failed")
+        row = json.loads(outs[0].strip().splitlines()[-1])
+        aps = row["aligns_per_second"]
+        if base_aps is None:
+            base_aps = aps
+        row["weak_scaling_efficiency"] = round(aps / (base_aps * n), 4)
+        print(f"processes={n} {aps:,.0f} aligns/s "
+              f"eff={row['weak_scaling_efficiency']:.2%}", file=sys.stderr)
+        rows.append(row)
+    with open(out, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=list(rows[-1].keys()))
+        w.writeheader()
+        w.writerows(rows)
+    print(f"wrote {out}")
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     p.add_argument("--engine", default="xla", choices=["xla", "pallas"])
@@ -98,7 +200,20 @@ def main(argv=None) -> int:
     p.add_argument("--read_len", type=int, default=600)
     p.add_argument("--reps", type=int, default=3)
     p.add_argument("--out", default="profile/scaling.csv")
+    p.add_argument("--distributed", type=int, default=0, metavar="N",
+                   help="launch a real N-process jax.distributed "
+                        "weak-scaling run on this machine (vs 1 process)")
+    p.add_argument("--per_process", type=int, default=2048)
+    p.add_argument("--dist_worker", default=None, metavar="PID:NPROC:PORT",
+                   help="internal: run as one distributed process")
     args = p.parse_args(argv)
+    if args.dist_worker:
+        pid, nproc, port = args.dist_worker.split(":")
+        return _dist_worker(int(pid), int(nproc), port, args.per_process,
+                            args.read_len)
+    if args.distributed:
+        return run_distributed(args.distributed, args.per_process,
+                               args.read_len, args.out)
     rows = measure(args.engine, args.per_device, args.read_len, args.reps)
     with open(args.out, "w", newline="") as f:
         w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))

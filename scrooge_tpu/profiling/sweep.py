@@ -4,16 +4,21 @@ The reference RECOMPILES its C++/CUDA binaries per configuration point
 (-DCLI_W=.. etc, profile.py:28-33) and regex-scrapes stdout. Here the knobs
 are runtime parameters of a single Python process: changing a knob re-jits
 (XLA retrace) instead of re-running make, and throughput comes from
-AlignStats directly. CSV schemas match the reference's so its plotting
-conventions carry over:
+AlignStats directly. CSV schemas follow the reference's where the axis
+exists here (profile.py:82,610):
 
-  throughput sweeps -> ["W", "O", "SENE", "DENT", "early termination",
-                        "threads", "aligns/second"]   (profile.py:82)
+  throughput sweeps -> ["W", "O", "early termination", "batch",
+                        "aligns/second"]
   accuracy sweeps   -> ["W", "O", "pair_idx", "score"(, "cigar", "read",
-                        "reference")]                  (profile.py:610)
+                        "reference")]
 
-The "threads" column carries the batch tile (lanes) — the TPU analogue of
-the CPU thread count / GPU thread-block count axis.
+The "batch" column carries the batch tile (lanes) — the TPU analogue of
+the reference's CPU thread count / GPU thread-block count axis. The
+reference's SENE/DENT memory-layout toggles are NOT throughput axes here:
+the device engines always store truncated entries (strictly less memory
+with no TPU downside, config.py docstring), so device CSVs don't carry
+those columns — the layout axis lives in the Python oracle
+(pyref.genasm_dc) and the ASIC model (profiling/model.py) only.
 
 Usage:
   python -m scrooge_tpu.profiling.sweep device <dataset>   # throughput
@@ -56,8 +61,11 @@ def _load(dataset: str, datasets_dir: Path, with_truth: bool = False):
         num = int(parts[1]) if len(parts) > 1 else 512
         rlen = int(parts[2]) if len(parts) > 2 else 10_000
         decoys = float(parts[3]) if len(parts) > 3 else 0.0
+        # parts[4]: read accuracy — 0.95 matches the PBSIM2 default the
+        # reference benchmarks at (DATASETS.md:45-60); ~0.85 models ONT
+        accuracy = float(parts[4]) if len(parts) > 4 else 0.95
         ds = simulate_dataset(genome_len=1_000_000, num_reads=num,
-                              read_len=rlen, accuracy=0.95, seed=11,
+                              read_len=rlen, accuracy=accuracy, seed=11,
                               with_truth=with_truth, decoys=decoys)
         return ((ds.genome, ds.reads, ds.truth) if with_truth
                 else (ds.genome, ds.reads))
@@ -77,7 +85,7 @@ def _load(dataset: str, datasets_dir: Path, with_truth: bool = False):
 
 
 def _run_throughput(genome, reads, cfg: AlignConfig, data: List,
-                    threads_col: int):
+                    batch_col: int):
     try:
         # warmup pass: jit compilation happens here, not in the timed run
         # (the reference recompiles per config but times only the binary's
@@ -88,21 +96,19 @@ def _run_throughput(genome, reads, cfg: AlignConfig, data: List,
     except Exception as e:  # config failed: record nothing, keep sweeping
         print(f"config failed ({e})", file=sys.stderr)
         return
-    data.append([cfg.W, cfg.O, cfg.store_entries_not_edges,
-                 cfg.discard_entries_not_used_by_traceback,
-                 cfg.early_termination, threads_col,
+    data.append([cfg.W, cfg.O, cfg.early_termination, batch_col,
                  stats.aligns_per_second])
 
 
-THROUGHPUT_HEADER = ["W", "O", "SENE", "DENT", "early termination",
-                     "threads", "aligns/second"]
+THROUGHPUT_HEADER = ["W", "O", "early termination", "batch",
+                     "aligns/second"]
 
 
 def sweep_wo(genome, reads, backend: str, out: Path, max_experiments: int,
              repetitions: int, batch: int, max_W: int = 256):
-    """W sweep with O = min(W//2+1, W-1) (profile.py:65-82). The SENE/DENT
-    toggles are output-invariant memory-layout knobs exercised for schema
-    parity; ET is a real performance toggle."""
+    """W sweep with O = min(W//2+1, W-1) (profile.py:65-82). ET is the
+    one layout/optimization toggle that is a real device performance axis
+    (SENE/DENT aren't: see module docstring)."""
     gran = max(16, max_W // max(1, max_experiments))
     Ws = [w for w in range(gran, max_W + 1, gran)]
     data: List = []
@@ -213,6 +219,40 @@ def sweep_kernel(genome, reads, out: Path, max_experiments: int,
     csv_write(out, data, ["kw", "sk", "batch", "aligns/second"])
 
 
+def sweep_tbcap(genome, reads, out: Path, batch: int, W: int = 64,
+                caps=(8, 16, 24, 32, 48, 64)):
+    """tb_cap sweep: the Pallas engine's per-window d-search cap vs the
+    retry cliff (config.tb_cap docstring). On high-error inputs windows
+    whose edit distance exceeds tb_cap fail their lane to the batched
+    full-K XLA retry; this records how often that happens and what it
+    costs at each cap. CSV: tb_cap, batch, pairs, retried_pairs,
+    fail_tb_pairs, aligns/second, end_to_end_aligns/second."""
+    import time as _time
+
+    data: List = []
+    for cap in caps:
+        if cap > W:
+            continue
+        cfg = AlignConfig(W=W, K=W, O=W // 2 + 1, batch_tile=batch,
+                          tb_cap_override=cap)
+        print(f"[{datetime.now()}] tbcap {cap}", file=sys.stderr)
+        try:
+            api.align_reads(genome, reads[: min(len(reads), batch)], cfg)
+            t0 = _time.perf_counter()
+            _, stats = api.align_reads(genome, reads, cfg,
+                                       return_stats=True)
+            wall = _time.perf_counter() - t0
+        except Exception as e:
+            print(f"tb_cap={cap} failed ({e})", file=sys.stderr)
+            continue
+        data.append([cap, batch, stats.num_pairs, stats.retried_pairs,
+                     stats.fail_tb_pairs, stats.aligns_per_second,
+                     stats.num_pairs / wall])
+        csv_write(out, data, ["tb_cap", "batch", "pairs", "retried_pairs",
+                              "fail_tb_pairs", "aligns/second",
+                              "end_to_end_aligns/second"])
+
+
 def accuracy_sweep(genome, reads, out: Path, max_experiments: int,
                    cigar: bool, backend: str, batch: int,
                    max_W: int = 256):
@@ -266,12 +306,12 @@ def sweep_baselines(genome, reads, out: Path, batch: int,
 
     algorithms = algorithms or ["genasm_device", "genasm_xla", "exact",
                                 "affine", "banded", "wfa", "wfa_lm",
-                                "gact", "sw"]
+                                "gact", "sw", "edlib"]
     few = list(reads)[: baseline_pairs]
     data: List = []
     for alg in algorithms:
         subset = few if alg in ("exact", "affine", "banded", "wfa",
-                                "wfa_lm", "gact", "sw",
+                                "wfa_lm", "gact", "sw", "edlib",
                                 "genasm_pyref") else reads
         print(f"[{datetime.now()}] baselines {alg} ({len(subset)} reads)",
               file=sys.stderr)
@@ -349,7 +389,7 @@ def groundtruth_baselines(genome, reads, truth, out: Path,
 
     scoring = dict(match=2, mismatch=4, gap_open=4, gap_extend=2)
     algorithms = list(algorithms
-                      or ["exact", "affine", "banded", "wfa", "gact"])
+                      or ["exact", "affine", "banded", "wfa", "gact", "edlib"])
     data: List = []
     for alg in algorithms:
         print(f"[{datetime.now()}] groundtruth_baselines {alg}",
@@ -384,7 +424,7 @@ def baselines_accuracy(genome, reads, out: Path, cigar: bool,
 
     scoring = dict(match=2, mismatch=4, gap_open=4, gap_extend=2)
     algorithms = list(algorithms
-                      or ["exact", "affine", "banded", "wfa", "gact"])
+                      or ["exact", "affine", "banded", "wfa", "gact", "edlib"])
     data: List = []
     for alg in algorithms:
         print(f"[{datetime.now()}] baselines_accuracy {alg}",
@@ -413,7 +453,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         description="Sweep device/XLA throughput or accuracy over configs")
     p.add_argument("target",
                    choices=["device", "xla", "accuracy", "groundtruth",
-                            "baselines"])
+                            "baselines", "tbcap"])
     p.add_argument("dataset", type=str,
                    help="datasets_dir subdirectory or "
                         "'simulated[:N[:len[:decoys]]]' (decoys>0 = the "
@@ -465,6 +505,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     elif args.target == "baselines":
         sweep_baselines(genome, reads, out / f"{name}_baselines.csv",
                         args.batch_tile, args.baseline_pairs)
+    elif args.target == "tbcap":
+        sweep_tbcap(genome, reads, out / f"{name}_tbcap.csv",
+                    args.batch_tile, W)
     elif args.target in ("device", "xla"):
         tag = args.target
         sweep_wo(genome, reads, backend, out / f"{name}_{tag}_sweep_WO.csv",

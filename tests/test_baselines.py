@@ -73,13 +73,35 @@ def test_banded_adaptive_is_exact():
 
 
 def test_edlib_crosscheck():
-    """Optional third-party cross-check (skipped unless `pip install
-    edlib` was run in the host environment)."""
-    pytest.importorskip("edlib")
+    """Third-party cross-check through a REAL edlib: the PyPI package
+    when installed, else the reference's vendored sources compiled on
+    demand and bound with ctypes (baselines._edlib_lib) — the same
+    library the reference races (cpu_baseline.cpp:355). Skipped only when
+    neither a compiler nor the sources exist."""
+    from scrooge_tpu import baselines
     from scrooge_tpu.baselines import edlib_semiglobal
 
+    if not baselines.edlib_available():
+        pytest.skip("no edlib (pip package or SCROOGE_EDLIB_SRC + g++)")
     for t, q in _cases(12, 40):
         assert edlib_semiglobal(t, q) == _brute_semiglobal(t, q)
+
+
+def test_edlib_cigar_path():
+    """EDLIB_TASK_PATH binding: the returned extended CIGAR must be a
+    valid optimal semiglobal alignment (the reference's accuracy path,
+    edlib_to_alignment, cpu_baseline.cpp:294-305)."""
+    from scrooge_tpu import baselines
+
+    if baselines._edlib_lib() is None:
+        pytest.skip("no edlib ctypes build available")
+    from scrooge_tpu.cigar import validate_cigar
+
+    for t, q in _cases(13, 25):
+        ed, cigar = baselines.edlib_semiglobal_cigar(t, q)
+        assert ed == _brute_semiglobal(t, q), (t, q)
+        validate_cigar(cigar, ed, t, q)
+    assert baselines.edlib_semiglobal_cigar("ACGT", "") == (0, "")
 
 
 def _brute_affine(text, query, match=2, mismatch=4, go=4, ge=2):

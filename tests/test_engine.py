@@ -280,3 +280,49 @@ def test_engine_odd_k_parity_with_oracle():
                                     [q for _, q in cases], config=cfg)
         for (t, q), a, want in zip(cases, got, wants):
             assert (a.edit_distance, a.cigar) == want, (K, t, q)
+
+
+def test_return_packed_matches_strings():
+    """return_packed=True must be run-for-run identical to the string
+    path (same CIGAR content, same edit distances), on both the device
+    engine and the scalar backend."""
+    import random
+
+    from scrooge_tpu import api
+    from scrooge_tpu.datamodel import PackedAlignments
+
+    rng = random.Random(29)
+    texts, queries = [], []
+    for _ in range(24):
+        t = "".join(rng.choice("ACGT") for _ in range(300))
+        q = "".join(c for c in t if rng.random() > 0.05)[:260]
+        texts.append(t)
+        queries.append(q)
+    for backend in ("xla", "pyref"):
+        cfg = AlignConfig(W=64, K=64, O=33, backend=backend,
+                          batch_tile=128)
+        strs = api.align_pairs(texts, queries, cfg)
+        packed = api.align_pairs(texts, queries, cfg, return_packed=True)
+        assert isinstance(packed, PackedAlignments)
+        assert len(packed) == len(strs)
+        for i, a in enumerate(strs):
+            assert int(packed.edit_distances[i]) == a.edit_distance
+            assert packed.cigar(i) == a.cigar
+        back = packed.to_alignments()
+        assert [x.cigar for x in back] == [x.cigar for x in strs]
+
+
+def test_return_packed_read_mapping():
+    from scrooge_tpu import api
+    from scrooge_tpu.utils.simulate import simulate_dataset
+
+    ds = simulate_dataset(genome_len=40_000, num_reads=16, read_len=900,
+                          accuracy=0.95, seed=5)
+    cfg = AlignConfig(W=64, K=64, O=33, backend="xla", batch_tile=128)
+    strs = api.align_reads(ds.genome, ds.reads, cfg)
+    packed, stats = api.align_reads(ds.genome, ds.reads, cfg,
+                                    return_packed=True, return_stats=True)
+    assert stats.format_ns == 0  # stringification skipped entirely
+    for i, a in enumerate(strs):
+        assert int(packed.edit_distances[i]) == a.edit_distance
+        assert packed.cigar(i) == a.cigar

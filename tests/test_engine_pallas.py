@@ -387,3 +387,68 @@ def test_trailing_windows_beyond_max_windows_fail_like_xla():
         np.testing.assert_array_equal(
             np.asarray(rp.edit_distance)[ok],
             np.asarray(rx.edit_distance)[ok])
+
+
+def test_compact_flat_logshift_matches_oracle():
+    """Direct oracle test for engine_xla._compact_flat_logshift (the
+    production compactor behind compact_entries[_sparse][_u8]): random
+    valid masks, cap below/at/above L, and L around the 0xFFFF
+    distance-dtype switch."""
+    from scrooge_tpu.ops.engine_xla import _compact_flat_logshift
+
+    rng = np.random.default_rng(33)
+    cases = [(1, 8), (2, 8), (37, 16), (300, 8)]
+    for L, B in cases:
+        flat = rng.integers(0, 1 << 16, (L, B)).astype(np.uint16)
+        valid = rng.uniform(size=(L, B)) < rng.uniform(0, 1, (1, B))
+        valid[:, 0] = True   # fully valid lane
+        valid[:, 1] = False  # fully empty lane
+        for cap in {1, max(1, L // 2), L, L + 5}:
+            out, totals = _compact_flat_logshift(
+                jnp.asarray(flat), jnp.asarray(valid), cap)
+            out, totals = np.asarray(out), np.asarray(totals)
+            for b in range(B):
+                want = flat[valid[:, b], b]
+                assert totals[b] == len(want)
+                keep = min(cap, len(want))
+                assert np.array_equal(out[:keep, b], want[:keep]), (L, cap, b)
+                assert (out[keep:, b] == 0).all()
+    # dtype switch: L >= 0xFFFF must route distances through int32
+    for L in (0xFFFF - 1, 0xFFFF + 1):
+        B = 2
+        flat = rng.integers(1, 1 << 16, (L, B)).astype(np.uint16)
+        valid = rng.uniform(size=(L, B)) < 0.001
+        out, totals = _compact_flat_logshift(
+            jnp.asarray(flat), jnp.asarray(valid), 64)
+        out, totals = np.asarray(out), np.asarray(totals)
+        for b in range(B):
+            want = flat[valid[:, b], b][:64]
+            assert totals[b] == valid[:, b].sum()
+            assert np.array_equal(out[: len(want), b], want)
+
+
+def test_pallas_emitter_counts_match_nonzero_slots():
+    """Pin the invariant the sparse compactors rely on: the Pallas
+    emitter's per-window ``counts`` equal the number of nonzero slots it
+    wrote (compact_entries_sparse derives validity from slot != 0 and
+    would silently disagree with the dense path if these diverged)."""
+    cfg = _AC(W=64, K=64, O=33, batch_tile=128)
+    rng = np.random.default_rng(5)
+    B, rl, tl = 128, 700, 900
+    text = rng.integers(0, 4, (B, tl), dtype=np.uint8)
+    pattern = np.where(rng.uniform(size=(B, rl)) < 0.08,
+                       rng.integers(0, 4, (B, rl), dtype=np.uint8),
+                       text[:, :rl]).astype(np.uint8)
+    tlen = np.full(B, tl, np.int32)
+    plen = np.full(B, rl, np.int32)
+    maxw = -(-cfg.max_windows(rl) // 32) * 32
+    sk, kw = engine_pallas.choose_kernel_shape(cfg, B // 128)
+    res = engine_pallas.align_batch(
+        cfg, maxw, sk, kw,
+        engine_pallas.pack_2bit_host(text), tlen,
+        engine_pallas.pack_2bit_host(pattern), plen)
+    entries = np.asarray(res.entries)   # (maxw, ne3, B) sparse rows
+    counts = np.asarray(res.counts)     # (maxw, B)
+    nonzero = (entries != 0).sum(axis=1)
+    assert np.array_equal(counts, nonzero)
+    assert counts.sum() > 0  # the invariant isn't vacuous

@@ -166,3 +166,35 @@ def test_native_parsers_universal_newlines_and_nonascii(io_lib, tmp_path,
     monkeypatch.setenv("SCROOGE_NATIVE_IO", "1")
     seqs = sio.read_fasta(ua)
     assert [(s.description, s.content) for s in seqs] == [("séq", "ACGT")]
+
+
+def test_encode_pack_strs_matches_oracle():
+    """Fused C++ ASCII->2-bit(->packed) encode vs the numpy reference
+    (encode_np + pack_2bit_host)."""
+    import random
+
+    from scrooge_tpu.api import encode_np
+    from scrooge_tpu.ops.engine_pallas import pack_2bit_host
+
+    if native.get_lib() is None:
+        pytest.skip("no native lib")
+    rng = random.Random(3)
+    seqs = ["".join(rng.choice("ACGTacgt") for _ in range(n))
+            for n in (0, 1, 15, 16, 17, 31, 33, 200, 1000)]
+    width = 1024
+    rows = np.zeros((len(seqs), width), np.uint8)
+    for i, s in enumerate(seqs):
+        if s:
+            rows[i, : len(s)] = encode_np(s)
+    got8 = native.encode_strs(seqs, width)
+    assert (got8 == rows).all()
+    gotw = native.encode_pack_strs(seqs, width)
+    assert (gotw == pack_2bit_host(rows)).all()
+
+    with pytest.raises(ValueError, match="non-ACGT"):
+        native.encode_strs(["ACGTN"], 16)
+    with pytest.raises(ValueError, match="non-ACGT"):
+        native.encode_pack_strs(["ACG", "TtNA"], 16)
+    # non-ASCII raises a ValueError subclass too (UnicodeEncodeError)
+    with pytest.raises(ValueError):
+        native.encode_pack_strs(["ACGТ"], 16)  # Cyrillic Т

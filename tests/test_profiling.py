@@ -40,8 +40,11 @@ def test_sweep_writes_reference_schema_csvs(sweep_dir):
     assert wo.exists()
     with open(wo) as f:
         rows = list(csv.reader(f))
-    assert rows[0] == ["W", "O", "SENE", "DENT", "early termination",
-                       "threads", "aligns/second"]
+    # no constant columns: the SENE/DENT layout axis is not a device
+    # throughput axis (sweep.py module docstring); batch records the
+    # operating point of every row
+    assert rows[0] == ["W", "O", "early termination", "batch",
+                       "aligns/second"]
     assert len(rows) > 1
     assert float(rows[1][-1]) > 0
 
