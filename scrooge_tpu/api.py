@@ -720,8 +720,94 @@ def align_pairs(
     return (results, stats) if return_stats else results
 
 
+def _prepare_genome_host(reference: Genome, engine: str):
+    """Encode(+pack) the genome for one engine: (host_array, glen, gpad).
+
+    Fused ASCII->packed-words in one C++ pass (native.encode_pack_strs)
+    keeps peak host memory at ~1.25 bytes/base even for human-scale
+    genomes, instead of ~8 bytes/base for a whole-genome uint32 blow-up.
+    """
+    from . import native
+    from .ops import engine_pallas
+
+    glen = len(reference.content)
+    if glen > 0xFFFFFFFF:
+        # the device gather path indexes the genome with uint32 char
+        # offsets; silently wrapping would align reads at wrong loci
+        raise ValueError(
+            f"genome of {glen} bases exceeds the 2^32-1 device offset "
+            "range; split it by chromosome or use backend='pyref'")
+    # pad to a linear bucket so XLA traces once per bucket, not per genome
+    # length (padding is never read: text_len clamps usable text). Linear
+    # rather than power-of-two: the packed one-time upload amortizes the
+    # occasional retrace, and pow2 padding doubles peak memory at worst.
+    gpad = _bucket_lin(max(glen, 1), 1 << 22)
+    if engine == "pallas":
+        # 2-bit packed words: the genome uploads once at 1/4 the bytes and
+        # window gathers pull whole words (engine_pallas docstring)
+        packed = native.encode_pack_strs([reference.content], gpad)
+        if packed is not None:
+            return packed[0], glen, gpad
+        # no compiler: numpy fallback, chunked to bound peak temps
+        genome_codes = encode_np(reference.content)
+        packed = np.zeros(gpad // 16, np.uint32)
+        CHUNK = 1 << 24  # chars per chunk (multiple of 16)
+        for s in range(0, glen, CHUNK):
+            chunk = genome_codes[s : s + CHUNK]
+            if len(chunk) % 16:
+                chunk = np.pad(chunk, (0, 16 - len(chunk) % 16))
+            packed[s // 16 : s // 16 + len(chunk) // 16] = \
+                engine_pallas.pack_2bit_host(chunk[None, :])[0]
+        return packed, glen, gpad
+    rows = native.encode_strs([reference.content], gpad)
+    if rows is not None:
+        return rows[0], glen, gpad
+    genome_codes = encode_np(reference.content)
+    return (np.pad(genome_codes, (0, gpad - glen))
+            if gpad != glen else genome_codes), glen, gpad
+
+
+class PreparedGenome:
+    """Device-resident packed reference for repeated align_reads calls.
+
+    The reference keeps its genome resident in managed memory across the
+    whole run (twobit_reference packs it once, genasm_gpu.cu:692-743);
+    this is the explicit analogue for streamed workloads: prepare once,
+    then every align_reads(prepared, chunk) call skips the genome
+    encode/pack/upload (the dominant per-call cost for >=100 Mbase
+    genomes). Cached per engine ("pallas"/"xla") and mesh width.
+    """
+
+    def __init__(self, reference: Genome):
+        self.reference = reference
+        self._dev = {}  # (engine, n_dev) -> (genome_dev, glen)
+
+    def device_genome(self, engine: str, mesh):
+        import jax
+        import jax.numpy as jnp
+
+        n_dev = int(mesh.devices.size) if mesh is not None else 1
+        key = (engine, n_dev)
+        if key not in self._dev:
+            genome_host, glen, _ = _prepare_genome_host(self.reference,
+                                                        engine)
+            if mesh is not None:
+                from .parallel import mesh as mesh_mod
+
+                dev = jax.device_put(genome_host, mesh_mod.replicated(mesh))
+            else:
+                dev = jnp.asarray(genome_host)
+            self._dev[key] = (dev, glen)
+        return self._dev[key]
+
+
+def prepare_genome(reference: Genome) -> PreparedGenome:
+    """Pack + pin a reference genome for repeated align_reads calls."""
+    return PreparedGenome(reference)
+
+
 def align_reads(
-    reference: Genome,
+    reference: Union[Genome, PreparedGenome],
     reads: Sequence[Read],
     config: Optional[AlignConfig] = None,
     return_stats: bool = False,
@@ -733,10 +819,15 @@ def align_reads(
     reference genome is uploaded once as a flat 2-bit-coded device array
     and all window text is gathered from it by global offset — no per-pair
     text copies (the reference's shared-reference property, README.md:83-86).
+    Pass a PreparedGenome (prepare_genome) to reuse the device-resident
+    genome across calls when streaming read chunks.
 
     return_packed=True returns PackedAlignments (see align_pairs).
     """
-    import jax.numpy as jnp
+    prepared: Optional[PreparedGenome] = None
+    if isinstance(reference, PreparedGenome):
+        prepared = reference
+        reference = prepared.reference
 
     cfg = config or AlignConfig()
     pairs: List[Tuple[int, Read]] = []  # (start_in_reference, read)
@@ -783,57 +874,13 @@ def align_reads(
     engine, sk, kw = _resolve_backend(cfg, cfg.batch_tile, n_dev)
 
     tp0 = time.perf_counter_ns()
-    glen = len(reference.content)
-    if glen > 0xFFFFFFFF:
-        # the device gather path indexes the genome with uint32 char
-        # offsets; silently wrapping would align reads at wrong loci
-        raise ValueError(
-            f"genome of {glen} bases exceeds the 2^32-1 device offset "
-            "range; split it by chromosome or use backend='pyref'")
-    # pad to a linear bucket so XLA traces once per bucket, not per genome
-    # length (padding is never read: text_len clamps usable text). Linear
-    # rather than power-of-two: the packed one-time upload amortizes the
-    # occasional retrace, and pow2 padding doubles peak memory at worst.
-    gpad = _bucket_lin(max(glen, 1), 1 << 22)
-    if engine == "pallas":
-        # 2-bit packed words: the genome uploads once at 1/4 the bytes and
-        # window gathers pull whole words (engine_pallas docstring).
-        # Fused ASCII->packed-words in one C++ pass (native.encode_pack_strs)
-        # keeps peak host memory at ~1.25 bytes/base even for human-scale
-        # genomes, instead of ~8 bytes/base for a whole-genome uint32 blow-up.
-        packed = native.encode_pack_strs([reference.content], gpad)
-        if packed is not None:
-            genome_host = packed[0]
-        else:  # no compiler: numpy fallback, chunked to bound peak temps
-            genome_codes = encode_np(reference.content)
-            packed = np.zeros(gpad // 16, np.uint32)
-            CHUNK = 1 << 24  # chars per chunk (multiple of 16)
-            for s in range(0, glen, CHUNK):
-                chunk = genome_codes[s : s + CHUNK]
-                if len(chunk) % 16:
-                    chunk = np.pad(chunk, (0, 16 - len(chunk) % 16))
-                packed[s // 16 : s // 16 + len(chunk) // 16] = \
-                    engine_pallas.pack_2bit_host(chunk[None, :])[0]
-            genome_host = packed
-    else:
-        rows = native.encode_strs([reference.content], gpad)
-        if rows is not None:
-            genome_host = rows[0]
-        else:
-            genome_codes = encode_np(reference.content)
-            genome_host = (np.pad(genome_codes, (0, gpad - glen))
-                           if gpad != glen else genome_codes)
-    if mesh is not None:
-        # replicate ONCE: the per-tile device_put inside the mesh helpers
-        # then no-ops on the already-committed array (re-broadcasting a
-        # ~0.78 GB packed human genome per tile would swamp the pipeline)
-        import jax
-
-        from .parallel import mesh as mesh_mod
-
-        genome_dev = jax.device_put(genome_host, mesh_mod.replicated(mesh))
-    else:
-        genome_dev = jnp.asarray(genome_host)
+    # replicate/upload ONCE (mesh: the per-tile device_put inside the mesh
+    # helpers then no-ops on the already-committed array — re-broadcasting
+    # a ~0.78 GB packed human genome per tile would swamp the pipeline);
+    # a PreparedGenome additionally reuses the device array across calls
+    if prepared is None:
+        prepared = PreparedGenome(reference)
+    genome_dev, glen = prepared.device_genome(engine, mesh)
     stats.prep_ns += time.perf_counter_ns() - tp0
     # reads are encoded lazily inside the chunked tile upload (the encode
     # then runs under the previous chunk's h2d transfer); length-sorting
@@ -987,6 +1034,6 @@ def align_all(*args, **kwargs):
     """Dispatch between the two interfaces by argument type, mirroring the
     reference's overload pair (genasm_cpu.hpp:6-7)."""
     first = args[0] if args else kwargs.get("reference", kwargs.get("texts"))
-    if isinstance(first, Genome):
+    if isinstance(first, (Genome, PreparedGenome)):
         return align_reads(*args, **kwargs)
     return align_pairs(*args, **kwargs)

@@ -79,8 +79,12 @@ def test_engine_corpus_parity_default_config():
         assert a.cigar == cigar
 
 
-@pytest.mark.parametrize("wko", [(32, 32, 17), (16, 16, 9)])
+@pytest.mark.parametrize("wko", [(32, 32, 17), (16, 16, 9), (64, 48, 33)])
 def test_engine_corpus_parity_other_configs(wko):
+    """(64, 48, 33) is the asymmetric K<W corpus config: K=48 sits above
+    the device tb_cap (min(K, 32) = 32), so rows whose window edit
+    distance lands in (32, 48] pin the Pallas-fail -> full-K-XLA retry
+    path against the reference C++ outputs."""
     W, K, O = wko
     cfg = AlignConfig(W=W, K=K, O=O, backend="xla", batch_tile=128)
     cases = []

@@ -67,3 +67,49 @@ def test_deep_genome_offsets():
         assert (a.edit_distance, a.cigar) == (ed, cigar)
         validate_cigar(a.cigar, a.edit_distance, genome.content,
                        read.content, st)
+
+
+def test_config4_streamed_scaled():
+    """Scaled-down CI version of the BASELINE config-4 run
+    (tools/config4_run.py): a multi-chromosome genome prepared ONCE on
+    device (PreparedGenome), read chunks streamed against it with packed
+    output. Pins (a) chromosome attribution of the simulator, (b) genome
+    reuse across calls, (c) result correctness vs the direct string
+    path."""
+    from scrooge_tpu.api import align_reads, prepare_genome
+    from scrooge_tpu.utils.simulate import (random_multichrom_genome,
+                                            simulate_reads)
+
+    genome = random_multichrom_genome(2_000_000, 6, seed=11)
+    starts = list(genome.chromosome_starts.values())
+    assert starts == sorted(starts) and len(starts) == 6
+    assert len(genome.content) == 2_000_000
+
+    cfg = AlignConfig(backend="xla", batch_tile=256)
+    pg = prepare_genome(genome)
+    pairs = 0
+    prep_after_first = None
+    for chunk_no in range(2):
+        reads = simulate_reads(genome, 256, 900, 0.95,
+                               seed=100 + chunk_no)
+        # chromosome attribution matches the global offset
+        for r in reads[:8]:
+            loc = r.locations[0]
+            assert (genome.chromosome_starts[loc.chromosome]
+                    + loc.start_in_chromosome == loc.start_in_reference)
+        packed, stats = align_reads(pg, reads, cfg, return_stats=True,
+                                    return_packed=True)
+        pairs += len(packed)
+        if chunk_no > 0:
+            prep_after_first = stats.prep_ns
+        # spot-check vs the string path on the same prepared genome
+        direct = align_reads(pg, reads[:4], cfg)
+        for i, a in enumerate(direct):
+            assert packed.cigar(i) == a.cigar
+            assert int(packed.edit_distances[i]) == a.edit_distance
+            validate_cigar(a.cigar, a.edit_distance, genome.content,
+                           reads[i].content,
+                           reads[i].locations[0].start_in_reference)
+    assert pairs == 512
+    # the genome was NOT re-encoded/re-uploaded on later chunks
+    assert prep_after_first < 50_000_000  # < 50 ms
