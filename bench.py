@@ -31,6 +31,9 @@ def main():
     num_reads = int(os.environ.get("BENCH_READS", "32768"))
     read_len = int(os.environ.get("BENCH_READ_LEN", "10000"))
     genome_len = int(os.environ.get("BENCH_GENOME", "1000000"))
+    # 0.95 = the PBSIM2 default the reference benchmarks at; ~0.85 models
+    # ONT-class error rates (the tb_cap retry-cliff stress level)
+    accuracy = float(os.environ.get("BENCH_ACCURACY", "0.95"))
 
     from scrooge_tpu.api import align_reads
     from scrooge_tpu.config import AlignConfig
@@ -43,7 +46,7 @@ def main():
     # wrong candidates per read) — the retry-path stress workload
     decoys = float(os.environ.get("BENCH_DECOYS", "0"))
     ds = simulate_dataset(genome_len=genome_len, num_reads=num_reads,
-                          read_len=read_len, accuracy=0.95, seed=7,
+                          read_len=read_len, accuracy=accuracy, seed=7,
                           decoys=decoys)
 
     # warmup: trace + compile on one full tile (same shapes as the timed

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import argparse
 import csv
+import dataclasses
 import os
 import sys
 from datetime import datetime
@@ -85,7 +86,7 @@ def _load(dataset: str, datasets_dir: Path, with_truth: bool = False):
 
 
 def _run_throughput(genome, reads, cfg: AlignConfig, data: List,
-                    batch_col: int):
+                    batch_col: int) -> bool:
     try:
         # warmup pass: jit compilation happens here, not in the timed run
         # (the reference recompiles per config but times only the binary's
@@ -95,9 +96,51 @@ def _run_throughput(genome, reads, cfg: AlignConfig, data: List,
         _, stats = api.align_reads(genome, reads, cfg, return_stats=True)
     except Exception as e:  # config failed: record nothing, keep sweeping
         print(f"config failed ({e})", file=sys.stderr)
-        return
+        return False
     data.append([cfg.W, cfg.O, cfg.early_termination, batch_col,
                  stats.aligns_per_second])
+    return True
+
+
+RUN_BUFFER_BUDGET = 5 << 30  # HBM headroom for the worst-case run buffers
+
+
+def _max_batch_for(cfg: AlignConfig, read_len: int,
+                   budget: int = RUN_BUFFER_BUDGET) -> int:
+    """Largest batch tile whose worst-case CIGAR-run buffers fit `budget`.
+
+    The per-tile run store is (maxw, NE3, B) uint16 with NE3 = 2*tb_cap+2
+    (engine_pallas.tb_rows) plus counts and ~2x that again in compaction
+    temporaries; small-tb_limit configs (small W, or O close to W)
+    multiply maxw, and a W=32 batch-32768 tile at 10 kbp reads overflows
+    HBM — which also POISONS the device client for subsequent configs, so
+    the cap must be applied up front, not discovered by retry."""
+    maxw = -(-cfg.max_windows(read_len) // 32) * 32
+    ne3 = 2 * cfg.tb_cap + 2
+    per_lane = maxw * (ne3 * 2 * 3 + 4)  # entries + ~2x temps + counts
+    b = int(budget // max(per_lane, 1))
+    return max(1024, (b // 1024) * 1024)
+
+
+def _run_throughput_ladder(genome, reads, cfg: AlignConfig, data: List,
+                           batch: int):
+    """Run at the largest memory-safe batch tile <= requested, halving on
+    unexpected failure down to 1024. The recorded batch column keeps
+    reduced-batch rows honest."""
+    read_len = max((len(r.content) for r in reads), default=1)
+    b = min(batch, _max_batch_for(cfg, read_len))
+    if b < batch:
+        print(f"W={cfg.W} O={cfg.O}: run buffers cap batch at {b}",
+              file=sys.stderr)
+    floor = min(1024, batch)  # sub-1024 tiles (tests) run once, no ladder
+    b = max(b if batch >= 1024 else batch, floor)
+    while b >= floor:
+        cfg_b = dataclasses.replace(cfg, batch_tile=b)
+        if _run_throughput(genome, reads, cfg_b, data, b):
+            return
+        b //= 2
+        print(f"retrying W={cfg.W} O={cfg.O} at batch {b}",
+              file=sys.stderr)
 
 
 THROUGHPUT_HEADER = ["W", "O", "early termination", "batch",
@@ -120,7 +163,7 @@ def sweep_wo(genome, reads, backend: str, out: Path, max_experiments: int,
         cfg = AlignConfig(W=W, K=W, O=O, early_termination=et,
                           backend=backend, batch_tile=batch)
         for _ in range(repetitions):
-            _run_throughput(genome, reads, cfg, data, batch)
+            _run_throughput_ladder(genome, reads, cfg, data, batch)
         csv_write(out, data, THROUGHPUT_HEADER)  # durable per config
 
 
@@ -134,7 +177,7 @@ def sweep_o(genome, reads, backend: str, out: Path, max_experiments: int,
         cfg = AlignConfig(W=W, K=W, O=O, early_termination=et,
                           backend=backend, batch_tile=batch)
         for _ in range(repetitions):
-            _run_throughput(genome, reads, cfg, data, batch)
+            _run_throughput_ladder(genome, reads, cfg, data, batch)
         csv_write(out, data, THROUGHPUT_HEADER)
 
 
@@ -509,19 +552,33 @@ def main(argv: Optional[List[str]] = None) -> int:
         sweep_tbcap(genome, reads, out / f"{name}_tbcap.csv",
                     args.batch_tile, W)
     elif args.target in ("device", "xla"):
+        # one crashing family (a poisoned device client after an OOM) must
+        # not take down the remaining families' durable CSVs
         tag = args.target
-        sweep_wo(genome, reads, backend, out / f"{name}_{tag}_sweep_WO.csv",
-                 args.max_experiments, args.repetitions, args.batch_tile,
-                 args.max_W)
-        sweep_o(genome, reads, backend, out / f"{name}_{tag}_sweep_O.csv",
-                args.max_experiments, args.repetitions, args.batch_tile, W)
-        sweep_batch(genome, reads, backend,
-                    out / f"{name}_{tag}_sweep_batch.csv",
-                    args.max_experiments, args.repetitions, W)
+        families = [
+            lambda: sweep_wo(genome, reads, backend,
+                             out / f"{name}_{tag}_sweep_WO.csv",
+                             args.max_experiments, args.repetitions,
+                             args.batch_tile, args.max_W),
+            lambda: sweep_o(genome, reads, backend,
+                            out / f"{name}_{tag}_sweep_O.csv",
+                            args.max_experiments, args.repetitions,
+                            args.batch_tile, W),
+            lambda: sweep_batch(genome, reads, backend,
+                                out / f"{name}_{tag}_sweep_batch.csv",
+                                args.max_experiments, args.repetitions, W),
+        ]
         if tag == "device":
-            sweep_kernel(genome, reads,
-                         out / f"{name}_device_sweep_kernel.csv",
-                         args.max_experiments, args.batch_tile, W)
+            families.append(
+                lambda: sweep_kernel(genome, reads,
+                                     out / f"{name}_device_sweep_kernel.csv",
+                                     args.max_experiments, args.batch_tile,
+                                     W))
+        for fam in families:
+            try:
+                fam()
+            except Exception as e:
+                print(f"sweep family failed ({e})", file=sys.stderr)
     else:
         cig = "_cigar" if args.cigar else ""
         accuracy_sweep(genome, reads,
