@@ -55,6 +55,13 @@ def main():
     warm = ds.reads[: cfg.batch_tile]
     align_reads(ds.genome, warm, cfg)
 
+    # single-tile pass: the clean kernel-only split (with one tile in
+    # flight, core_ns cannot overlap transport) -> the headline metric.
+    # Measured 2026-08-19: splitting the batch into 4096-lane tiles to
+    # pipeline upload/compute/postprocess is 2.5x SLOWER end-to-end on
+    # this rig — the tunnel's per-roundtrip latency (8 tiles x chunked
+    # d2h syncs) and per-tile compaction-cap retraces swamp the overlap
+    # gains — so one full tile is also the end-to-end operating point.
     t0 = time.perf_counter()
     results, stats = align_reads(ds.genome, ds.reads, cfg, return_stats=True)
     wall_s = time.perf_counter() - t0

@@ -125,6 +125,20 @@ def _bucket_lin(n: int, step: int) -> int:
     return max(step, -(-n // step) * step)
 
 
+def _tile_B(n_lanes: int, tile_size: int, mesh) -> int:
+    """Device-lane count for a tile holding ``n_lanes`` real pairs.
+
+    Full tiles use ``tile_size``; a trailing partial tile shrinks to a
+    pow2 bucket (>= 1024) instead of padding all the way up — pad lanes
+    are real device time, and a 10%-full trailing tile would otherwise
+    nearly double a run's device cost. Pow2 bucketing bounds the number
+    of extra traced kernel shapes at log2(tile/1024). Mesh tiles keep
+    the full size (the per-device shard split relies on it)."""
+    if mesh is not None or tile_size <= 1024 or n_lanes >= tile_size:
+        return tile_size
+    return min(tile_size, max(1024, 1 << (max(n_lanes, 2) - 1).bit_length()))
+
+
 def _device_put_synced(*arrays, shardings=None, stats=None):
     """device_put + force the transfers to complete.
 
@@ -602,7 +616,9 @@ def align_pairs(
     try:
         for t0 in range(0, len(order), tile_size):
             idxs = order[t0 : t0 + tile_size]
-            B = tile_size
+            B = _tile_B(len(idxs), tile_size, mesh)
+            sk_t, kw_t = ((sk, kw) if B == tile_size or engine != "pallas"
+                          else engine_pallas.choose_kernel_shape(cfg, B // 128))
             longest = max((len(queries[i]) for i in idxs), default=1) or 1
             P = _bucket_lin(longest, 1024)
             T = _bucket_lin(max((len(texts[i]) for i in idxs), default=1) or 1,
@@ -665,7 +681,8 @@ def align_pairs(
                     res = mesh_mod.pallas_align_on_mesh(cfg, maxw, sk, kw, mesh,
                                                         *args)
                 else:
-                    res = engine_pallas.align_batch(cfg, maxw, sk, kw, *args)
+                    res = engine_pallas.align_batch(cfg, maxw, sk_t, kw_t,
+                                                    *args)
             elif mesh is not None:
                 res = mesh_mod.align_batch_on_mesh(cfg, maxw, mesh, *args)
             else:
@@ -902,7 +919,9 @@ def align_reads(
     try:
         for t0 in range(0, len(order), tile_size):
             idxs = order[t0 : t0 + tile_size]
-            B = tile_size
+            B = _tile_B(len(idxs), tile_size, mesh)
+            sk_t, kw_t = ((sk, kw) if B == tile_size or engine != "pallas"
+                          else engine_pallas.choose_kernel_shape(cfg, B // 128))
             longest = max((qlens[i] for i in idxs), default=1) or 1
             P = _bucket_lin(longest, 1024)
             maxw = -(-cfg.max_windows(longest) // 32) * 32
@@ -968,7 +987,7 @@ def align_reads(
                         cfg, maxw, sk, kw, mesh, genome_dev, *args)
                 else:
                     res = engine_pallas.align_batch_mapped(
-                        cfg, maxw, sk, kw, genome_dev, *args)
+                        cfg, maxw, sk_t, kw_t, genome_dev, *args)
             elif mesh is not None:
                 res = mesh_mod.align_batch_mapped_on_mesh(
                     cfg, maxw, mesh, genome_dev, *args)

@@ -136,7 +136,12 @@ def _run_throughput_ladder(genome, reads, cfg: AlignConfig, data: List,
     b = max(b if batch >= 1024 else batch, floor)
     while b >= floor:
         cfg_b = dataclasses.replace(cfg, batch_tile=b)
-        if _run_throughput(genome, reads, cfg_b, data, b):
+        # trim the dataset to whole tiles: a capped batch must not leave a
+        # nearly-empty trailing tile in the timed run (pad lanes are real
+        # device time, so the row would understate the config by up to 2x
+        # — the reference sweep likewise times fully-occupied runs)
+        full = reads[: max((len(reads) // b) * b, min(len(reads), b))]
+        if _run_throughput(genome, full, cfg_b, data, b):
             return
         b //= 2
         print(f"retrying W={cfg.W} O={cfg.O} at batch {b}",

@@ -330,3 +330,31 @@ def test_return_packed_read_mapping():
     for i, a in enumerate(strs):
         assert int(packed.edit_distances[i]) == a.edit_distance
         assert packed.cigar(i) == a.cigar
+
+
+def test_tail_tile_shrinks_to_pow2_bucket():
+    """A trailing partial tile must shrink to a pow2 bucket (>=1024), not
+    pad to the full tile — pad lanes are real device time (api._tile_B).
+    Results must be identical to a single-tile run."""
+    from scrooge_tpu.api import _tile_B
+
+    # unit: full tiles / mesh / small tiles keep tile_size; tails bucket
+    assert _tile_B(2048, 2048, None) == 2048
+    assert _tile_B(5, 128, None) == 128          # tile_size <= 1024 unchanged
+    assert _tile_B(152, 2048, object()) == 2048  # mesh keeps full size
+    assert _tile_B(152, 2048, None) == 1024
+    assert _tile_B(1500, 2048, None) == 2048     # pow2 clamped to tile
+    assert _tile_B(1030, 4096, None) == 2048
+    assert _tile_B(1, 2048, None) == 1024
+
+    # integration: 2200 pairs at tile 2048 -> tiles of 2048 + 1024(152 real)
+    cases = _random_cases(47, 2200, max_len=60)
+    texts = [t for t, _ in cases]
+    queries = [q for _, q in cases]
+    cfg = AlignConfig(W=16, K=16, O=9, backend="xla", batch_tile=2048)
+    got = scrooge_tpu.align_pairs(texts, queries, config=cfg)
+    one = scrooge_tpu.align_pairs(
+        texts, queries,
+        config=AlignConfig(W=16, K=16, O=9, backend="xla", batch_tile=4096))
+    assert [(a.edit_distance, a.cigar) for a in got] == \
+        [(a.edit_distance, a.cigar) for a in one]
