@@ -387,10 +387,14 @@ def _build_alignments(cfg, res, stats, eds_host=None,
                 part = fut.result()
                 if ci + 1 < len(chunks):
                     fut = rb_pool.submit(read_chunk, *chunks[ci + 1])
-                lane_major = np.ascontiguousarray(to_u16(part).T)
                 t = tot_np[c0:c1]
-                m = np.arange(lane_major.shape[1])[None, :] < t[:, None]
-                flats.append(lane_major[m])
+                ext = native.extract_runs(part, t)
+                if ext is None:  # no compiler: numpy gather fallback
+                    lane_major = np.ascontiguousarray(to_u16(part).T)
+                    m = (np.arange(lane_major.shape[1])[None, :]
+                         < t[:, None])
+                    ext = lane_major[m]
+                flats.append(ext)
         flat = flats[0] if len(flats) == 1 else np.concatenate(flats)
         offs = np.zeros(B + 1, np.int64)
         np.cumsum(tot_np, out=offs[1:])

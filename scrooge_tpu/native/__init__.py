@@ -83,6 +83,10 @@ def get_lib():
         lib.encode_rows.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p]
+        for fn in (lib.extract_runs, lib.extract_runs8):
+            fn.restype = None
+            fn.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                           ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -233,6 +237,36 @@ def encode_strs(contents, width: int) -> Optional[np.ndarray]:
                          out.ctypes.data, bad.ctypes.data)
     if rc != 0:
         _raise_bad(joined, int(bad[0]))
+    return out
+
+
+def extract_runs(entries: np.ndarray,
+                 totals: np.ndarray) -> Optional[np.ndarray]:
+    """Lane-major flat extraction of a compacted (cap, B) run buffer.
+
+    entries: (cap, B) uint16 (op << 12 | count) or uint8 (op << 6 | count,
+    converted during extraction); totals: (B,) valid-run counts. Returns
+    one uint16 array holding every lane's valid runs contiguously (lane b
+    at [cumsum(totals)[b-1], cumsum(totals)[b])), or None if the native
+    library is unavailable (caller falls back to the numpy gather)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if entries.dtype == np.uint8:
+        fn = lib.extract_runs8
+    elif entries.dtype == np.uint16:
+        fn = lib.extract_runs
+    else:
+        return None
+    entries = np.ascontiguousarray(entries)
+    totals = np.ascontiguousarray(totals, np.int32)
+    cap, B = entries.shape
+    offs = np.zeros(B, np.int64)
+    np.cumsum(np.minimum(totals[:-1], cap), out=offs[1:])
+    n = int(offs[-1]) + int(min(int(totals[-1]), cap)) if B else 0
+    out = np.empty(n, np.uint16)
+    fn(entries.ctypes.data, cap, B, totals.ctypes.data, offs.ctypes.data,
+       out.ctypes.data)
     return out
 
 

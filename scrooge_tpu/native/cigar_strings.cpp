@@ -231,4 +231,37 @@ int format_cigars8(const uint8_t* entries, int64_t cap, int64_t B,
     return rc;
 }
 
+// Lane-major extraction of a compacted (cap, B) run buffer into one flat
+// uint16 stream: lane b's valid runs land contiguously at out[offs[b]..].
+// This is the return_packed fast path — the numpy equivalent (transpose
+// copy + boolean-mask gather) costs ~10x for the same strided walk.
+void extract_runs(const uint16_t* entries, int64_t cap, int64_t B,
+                  const int32_t* totals, const int64_t* offs,
+                  uint16_t* out) {
+    for (int64_t b = 0; b < B; b++) {
+        int64_t t = totals[b];
+        if (t > cap) t = cap;
+        uint16_t* dst = out + offs[b];
+        const uint16_t* src = entries + b;
+        for (int64_t g = 0; g < t; g++) dst[g] = src[g * B];
+    }
+}
+
+// uint8 layout variant (op << 6 | count): converts to the canonical
+// uint16 op << 12 | count layout during the same strided walk.
+void extract_runs8(const uint8_t* entries, int64_t cap, int64_t B,
+                   const int32_t* totals, const int64_t* offs,
+                   uint16_t* out) {
+    for (int64_t b = 0; b < B; b++) {
+        int64_t t = totals[b];
+        if (t > cap) t = cap;
+        uint16_t* dst = out + offs[b];
+        const uint8_t* src = entries + b;
+        for (int64_t g = 0; g < t; g++) {
+            uint8_t e = src[g * B];
+            dst[g] = (uint16_t)(((uint16_t)(e >> 6) << 12) | (e & 0x3F));
+        }
+    }
+}
+
 }  // extern "C"

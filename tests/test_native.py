@@ -198,3 +198,33 @@ def test_encode_pack_strs_matches_oracle():
     # non-ASCII raises a ValueError subclass too (UnicodeEncodeError)
     with pytest.raises(ValueError):
         native.encode_pack_strs(["ACGТ"], 16)  # Cyrillic Т
+
+
+def test_extract_runs_matches_numpy_gather(lib):
+    """extract_runs[8] (the return_packed fast path) must equal the numpy
+    transpose+mask gather it replaces, including the u8 -> u16 layout
+    conversion and empty lanes."""
+    entries, totals = _random_entries(11, cap=33, B=96)
+    totals[0] = 0
+    totals[-1] = 33
+
+    def oracle_u16(e, t):
+        lane_major = np.ascontiguousarray(e.T)
+        m = np.arange(e.shape[0])[None, :] < t[:, None]
+        return lane_major[m]
+
+    got = native.extract_runs(entries, totals)
+    np.testing.assert_array_equal(got, oracle_u16(entries, totals))
+
+    # u8 layout: op << 6 | count, count <= 63 -> canonical u16 out
+    rng = np.random.default_rng(12)
+    ops = rng.integers(0, 4, (20, 48), dtype=np.uint8)
+    cnts = rng.integers(1, 64, (20, 48), dtype=np.uint8)
+    e8 = ((ops << 6) | cnts).astype(np.uint8)
+    t8 = rng.integers(0, 21, 48, dtype=np.int32)
+    got8 = native.extract_runs(e8, t8)
+    u16 = ((e8.astype(np.uint16) >> 6) << 12) | (e8 & 0x3F)
+    np.testing.assert_array_equal(got8, oracle_u16(u16, t8))
+
+    # unsupported dtype falls back to None (caller uses numpy)
+    assert native.extract_runs(u16.astype(np.uint32), t8) is None
