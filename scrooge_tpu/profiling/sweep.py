@@ -136,11 +136,13 @@ def _run_throughput_ladder(genome, reads, cfg: AlignConfig, data: List,
     b = max(b if batch >= 1024 else batch, floor)
     while b >= floor:
         cfg_b = dataclasses.replace(cfg, batch_tile=b)
-        # trim the dataset to whole tiles: a capped batch must not leave a
-        # nearly-empty trailing tile in the timed run (pad lanes are real
-        # device time, so the row would understate the config by up to 2x
-        # — the reference sweep likewise times fully-occupied runs)
-        full = reads[: max((len(reads) // b) * b, min(len(reads), b))]
+        # time exactly ONE full tile: pad lanes in a trailing tile are
+        # real device time (up to 2x understatement), and multi-tile runs
+        # contaminate core_ns with transport contention (the pipelined
+        # tile loop overlaps tile n's readback sync with tile n+1's
+        # upload on the same tunnel). The reference sweep likewise times
+        # fully-occupied single runs.
+        full = reads[: min(len(reads), b)]
         if _run_throughput(genome, full, cfg_b, data, b):
             return
         b //= 2
@@ -202,7 +204,10 @@ def sweep_batch(genome, reads, backend: str, out: Path, max_experiments: int,
               file=sys.stderr)
         cfg = AlignConfig(W=W, K=W, O=O, backend=backend, batch_tile=tile)
         for _ in range(repetitions):
-            _run_throughput(genome, reads, cfg, data, tile)
+            # one full tile per row (see _run_throughput_ladder): smaller
+            # tiles over the whole dataset would measure the tile loop's
+            # transport contention, not the kernel at that batch size
+            _run_throughput(genome, reads[:tile], cfg, data, tile)
         csv_write(out, data, THROUGHPUT_HEADER)
 
 
@@ -248,10 +253,15 @@ def sweep_kernel(genome, reads, out: Path, max_experiments: int,
 
     data = []
     S = B // 128
-    combos = [(kw, sk) for kw in (1, 2, 4, 8, 16) for sk in (8, 16)
-              if sk <= S and S % sk == 0][: max(2, 2 * max_experiments)]
+    combos = [(kw, sk) for kw in (1, 2, 4, 8) for sk in (8, 16, 32)
+              if sk <= S and S % sk == 0][: max(2, 3 * max_experiments)]
     for kw, sk in combos:
-        if ep.kernel_vmem_bytes(cfg, sk, kw) > ep.VMEM_BUDGET:
+        # slab_bound guard: kw past MAX_SLAB_WORDS Mosaic-compiles past the
+        # documented select-chain bound and has crashed the TPU worker
+        # process (observed 2026-08-19 after the kw=16 rows ran) — the
+        # sweep grid stays inside the supported envelope
+        if (ep.slab_words(cfg, kw) > ep.MAX_SLAB_WORDS
+                or ep.kernel_vmem_bytes(cfg, sk, kw) > ep.VMEM_BUDGET):
             continue
         try:
             r = ep.align_batch_mapped(cfg, maxw, sk, kw, gwords, *args)

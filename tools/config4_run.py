@@ -23,6 +23,12 @@ import argparse
 import csv
 import json
 import os
+import sys
+
+# runnable as `python tools/<name>.py` from anywhere: the package lives in
+# the repo root, which is the script's parent directory (sys.path gets the
+# script dir, not the CWD)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import resource
 import sys
 import time

@@ -7,6 +7,12 @@ our fast path ends and what the fallback costs.
 """
 import csv
 import os
+import sys
+
+# runnable as `python tools/<name>.py` from anywhere: the package lives in
+# the repo root, which is the script's parent directory (sys.path gets the
+# script dir, not the CWD)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from scrooge_tpu.api import align_reads, prepare_genome
 from scrooge_tpu.config import AlignConfig
