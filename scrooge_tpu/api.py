@@ -23,6 +23,7 @@ reference would hang on) are retried on the exact scalar path and raise
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 from dataclasses import dataclass
@@ -502,7 +503,14 @@ def _retry_batched_xla(cfg, items, stats, results, mesh=None, engine=None):
             results[ri] = _retry_pyref(cfg, t, p, ri)
         return
     lane_mult = 128 * (int(mesh.devices.size) if mesh is not None else 1)
-    chunk = max(cfg.batch_tile, lane_mult)
+    # cap the per-call lane count: the full-K XLA engine is the slow
+    # fallback (~300 aligns/s on 10 kbp reads), and a >8192-lane call on
+    # long reads runs past the TPU worker's execution watchdog on
+    # tunneled single-chip rigs (observed: batch-16384 retry crashes the
+    # worker process; 8192 completes). Chunking costs only duplicated
+    # dispatch — retries are off the hot path by definition.
+    retry_cap = int(os.environ.get("SCROOGE_RETRY_CHUNK", "8192"))
+    chunk = max(min(cfg.batch_tile, retry_cap), lane_mult)
     for c0 in range(0, len(items), chunk):
         part = items[c0 : c0 + chunk]
         B = _bucket_lin(len(part), lane_mult)

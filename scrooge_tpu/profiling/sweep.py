@@ -371,19 +371,25 @@ def sweep_baselines(genome, reads, out: Path, batch: int,
         subset = few if alg in ("exact", "affine", "banded", "wfa",
                                 "wfa_lm", "gact", "sw", "edlib",
                                 "genasm_pyref") else reads
-        print(f"[{datetime.now()}] baselines {alg} ({len(subset)} reads)",
+        # the XLA engine is the slow fallback: one >8192-lane call on
+        # 10 kbp reads exceeds the TPU worker's execution watchdog on
+        # tunneled rigs (observed crash at 16384/32768; 8192 completes
+        # in ~32s). Record its row at the capped batch, honestly.
+        b_alg = min(batch, 8192) if alg == "genasm_xla" else batch
+        sub_alg = subset[:b_alg] if alg == "genasm_xla" else subset
+        print(f"[{datetime.now()}] baselines {alg} ({len(sub_alg)} reads)",
               file=sys.stderr)
         try:
             if alg.startswith("genasm_") and alg != "genasm_pyref":
                 # warmup: jit compile outside the timed run (the scalar
                 # DP baselines have nothing to warm — skip the double run)
-                _align_with(alg, genome, subset[: min(len(subset), batch)],
-                            batch)
-            _, aps = _align_with(alg, genome, subset, batch)
+                _align_with(alg, genome,
+                            sub_alg[: min(len(sub_alg), b_alg)], b_alg)
+            _, aps = _align_with(alg, genome, sub_alg, b_alg)
         except Exception as e:
             print(f"{alg} failed ({e})", file=sys.stderr)
             continue
-        data.append([alg, batch, len(subset), aps])
+        data.append([alg, b_alg, len(sub_alg), aps])
     csv_write(out, data, ["algorithm", "threads", "pairs", "aligns/second"])
 
 
