@@ -31,12 +31,14 @@ accuracy:
 # regenerate every figure from the recorded profile/ CSVs
 PLOT = $(PY) -m scrooge_tpu.profiling.plots
 figures:
-	$(PLOT) throughput --csv=profile/simulated_2048_10000_device_sweep_WO.csv --out=profile/throughput_W.png
-	$(PLOT) throughput --csv=profile/simulated_2048_10000_device_sweep_batch.csv --x=threads --out=profile/throughput_batch.png
-	$(PLOT) kernel --csv=profile/simulated_2048_10000_device_sweep_kernel.csv --out=profile/kernel_knobs.png
+	$(PLOT) throughput --csv=profile/simulated_32768_10000_device_sweep_WO.csv --out=profile/throughput_W.png
+	$(PLOT) throughput --csv=profile/simulated_32768_10000_device_sweep_O.csv --x=O --out=profile/throughput_O.png
+	$(PLOT) throughput --csv=profile/simulated_32768_10000_device_sweep_batch.csv --x=batch --out=profile/throughput_batch.png
+	$(PLOT) kernel --csv=profile/simulated_32768_10000_device_sweep_kernel.csv --out=profile/kernel_knobs.png
 	$(PLOT) scaling --csv=profile/scaling_virtual_cpu.csv --out=profile/scaling_virtual_cpu.png
 	$(PLOT) accuracy --csv=profile/simulated_256_2000_accuracy_sweep_wo.csv --exact_csv=profile/simulated_256_2000_baselines_accuracy.csv --out=profile/accuracy_scores.png
 	$(PLOT) groundtruth --csv=profile/simulated_256_4000_groundtruth_accuracy.csv --baselines_csv=profile/simulated_256_4000_groundtruth_baselines.csv --out=profile/groundtruth_accuracy_W.png
+	$(PLOT) groundtruth --csv=profile/simulated_512_10000_groundtruth_accuracy.csv --out=profile/groundtruth_accuracy_W10k.png
 	$(PLOT) groundtruth --csv=profile/simulated_128_2000_groundtruth_accuracy_O.csv --x=O --out=profile/groundtruth_accuracy_O.png
 	$(PLOT) baselines --csv=profile/simulated_512_2000_baselines_cpu.csv --out=profile/baselines_cpu.png
 	$(PLOT) representative --csv=profile/simulated_2048_10000_device_sweep_WO.csv --baselines_csv=profile/simulated_512_2000_baselines_cpu.csv --out=profile/representative.png

@@ -159,16 +159,19 @@ def choose_kernel_shape(cfg: AlignConfig, S: int,
     """(sublane tile, windows-per-slab) for a batch of S sublane groups.
 
     Mosaic block constraint: the sublane block dim must be a multiple of 8
-    or equal to the full dimension. sk=32 x kw=8 measures fastest at the
-    default config (fewer grid steps; the coarser per-tile early-
-    termination coupling costs less than the amortization gains); smaller
-    shapes trade slab fusion for VMEM so larger-W configs (W=128 at ~72MB
-    scratch) still run on the Pallas engine. Returns (0, 0) if nothing fits.
+    or equal to the full dimension. sk=16 measures fastest at the default
+    config across every windows-per-slab choice (operating-point kernel
+    sweep, profile/simulated_32768_10000_device_sweep_kernel.csv: 84.7k
+    aligns/s vs 82.1k at sk=32 and 74.9k at sk=8 — finer tiles couple
+    early termination over fewer lanes, and the grid amortization loss is
+    smaller than that gain); smaller shapes trade slab fusion for VMEM so
+    larger-W configs (W=128 at ~72MB scratch) still run on the Pallas
+    engine. Returns (0, 0) if nothing fits.
     """
     # S itself is always Mosaic-legal (a block dim equal to the full
     # dimension needs no divisibility), so batches whose S has no small
     # multiple-of-8 divisor still get a (single-tile) kernel if it fits
-    candidates = [min(32, S), min(16, S), min(8, S), S]
+    candidates = [min(16, S), min(32, S), min(8, S), S]
     if _SK_OVERRIDE:  # measurement-only tile override (see _ABLATE)
         candidates = [min(_SK_OVERRIDE, S)]
     kws = (DEFAULT_KW, 4, 2, 1)
