@@ -1052,10 +1052,19 @@ def align_batch_mapped(cfg: AlignConfig, max_windows: int, sk: int, kw: int,
     seg_w = -(-maxchars // CHARS_PER_WORD) + 1 + NWD2
     starts_u = starts.astype(jnp.uint32)
     sw = (starts_u >> 4).astype(jnp.int32)
-    idx = jnp.minimum(sw[None, :]
-                      + jnp.arange(seg_w, dtype=jnp.int32)[:, None],
-                      Gw - 1)
-    seg_t = jnp.take(genome_words, idx)  # (seg_w, B), word-major
+    # Contiguous per-lane slices, NOT an elementwise take: an (seg_w, B)
+    # index gather runs at ~8.6ns/element on this workload (~0.29s at the
+    # headline shape, 73% of core time — tools/probe_scan.py 2026-08-19);
+    # vmapped dynamic_slice lowers to a gather of whole contiguous rows
+    # (2.9KB each) and measures 3.1x faster. Out-of-range words past the
+    # genome end replicate the last word exactly like the old
+    # min(idx, Gw-1) clamp: the pad region below is genome_words[-1] and
+    # sw <= Gw-1 keeps dynamic_slice from ever clamping the start, so the
+    # resulting buffer is bit-identical.
+    gpad = jnp.broadcast_to(genome_words[-1:], (seg_w,))
+    gwords_p = jnp.concatenate([genome_words, gpad])
+    seg_t = jax.vmap(
+        lambda s: lax.dynamic_slice_in_dim(gwords_p, s, seg_w))(sw).T
     tphase = (starts_u & 15).astype(jnp.int32)
 
     pattern_t = jnp.pad(pattern_words, ((0, 0), (0, NWD2))).T

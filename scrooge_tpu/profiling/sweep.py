@@ -119,7 +119,11 @@ def _max_batch_for(cfg: AlignConfig, read_len: int,
     ne3 = 2 * cfg.tb_cap + 2
     per_lane = maxw * (ne3 * 2 * 3 + 4)  # entries + ~2x temps + counts
     b = int(budget // max(per_lane, 1))
-    return max(1024, (b // 1024) * 1024)
+    # round to a multiple of 2048, not 1024: the sublane count S = b/128
+    # must be divisible by 16 or choose_kernel_shape silently rejects the
+    # fast sk=16 tile (a 29696-lane cap measured 74.6k aligns/s where the
+    # same config at 32768 runs 84.6k — entirely the sk=8 fallback)
+    return max(1024, (b // 2048) * 2048)
 
 
 def _run_throughput_ladder(genome, reads, cfg: AlignConfig, data: List,

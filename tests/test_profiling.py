@@ -124,3 +124,25 @@ def test_groundtruth_sweep_with_baselines(tmp_path):
     fig = tmp_path / "gt.png"
     plots.plot_groundtruth(str(dev), str(fig), str(base))
     assert fig.exists() and fig.stat().st_size > 0
+
+
+def test_max_batch_cap_keeps_fast_kernel_tile():
+    """Memory-capped batches must stay divisible by 2048 so S = batch/128
+    admits the sk=16 kernel tile (a 29696-lane cap once silently fell to
+    the sk=8 tile, understating the W=64 sweep row by 12%)."""
+    from scrooge_tpu.config import AlignConfig
+    from scrooge_tpu.ops import engine_pallas as ep
+    from scrooge_tpu.profiling.sweep import _max_batch_for
+
+    for W, O in [(32, 17), (64, 33), (64, 31), (64, 47), (64, 55),
+                 (96, 49), (256, 129)]:
+        cfg = AlignConfig(W=W, K=W, O=O)
+        b = _max_batch_for(cfg, 10_000)
+        assert b == 1024 or b % 2048 == 0
+        if b >= 2048:
+            sk, kw = ep.choose_kernel_shape(cfg, b // 128)
+            # where the sk=16 tile fits VMEM at all, the capped batch
+            # must admit it (large W drops to sk=8 by budget — that's
+            # the VMEM trade, not a divisibility accident)
+            if sk and ep.kernel_vmem_bytes(cfg, 16, kw) <= ep.VMEM_BUDGET:
+                assert sk in (16, b // 128), (W, O, b, sk)
