@@ -41,8 +41,8 @@ figures:
 	$(PLOT) groundtruth --csv=profile/simulated_512_10000_groundtruth_accuracy.csv --out=profile/groundtruth_accuracy_W10k.png
 	$(PLOT) groundtruth --csv=profile/simulated_128_2000_groundtruth_accuracy_O.csv --x=O --out=profile/groundtruth_accuracy_O.png
 	$(PLOT) baselines --csv=profile/simulated_512_2000_baselines_cpu.csv --out=profile/baselines_cpu.png
-	$(PLOT) representative --csv=profile/simulated_2048_10000_device_sweep_WO.csv --baselines_csv=profile/simulated_512_2000_baselines_cpu.csv --out=profile/representative.png
-	$(PLOT) roofline --csv=profile/simulated_2048_10000_device_sweep_WO.csv --out=profile/roofline_v5e.png
+	$(PLOT) representative --csv=profile/simulated_32768_10000_device_sweep_WO.csv --baselines_csv=profile/simulated_512_2000_baselines_cpu.csv --out=profile/representative.png
+	$(PLOT) roofline --csv=profile/simulated_32768_10000_device_sweep_WO.csv --out=profile/roofline_v5e.png
 	$(PLOT) asic --csv=profile/asic_sweep.csv --out=profile/asic_area_power.png
 
 clean:

@@ -150,17 +150,36 @@ def sweep_rows(seq_len: int = 10_000, frequency: float = 1e9):
     return rows
 
 
-# ---- TPU kernel model ----
-
-# v5e-class VPU: 8x128 lanes x 32-bit, ~940 MHz, ~4 issue slots
-TPU_VPU_OPS_PER_S = 8 * 128 * 0.94e9 * 4  # uint32 elementwise ops/s
-TPU_GATHER_S_PER_ELEM = 8.6e-9  # measured XLA TPU gather cost
+# --- TPU kernel model (Pallas engine) -------------------------------
+#
+# Per-stage cost constants CALIBRATED against on-device measurements at
+# the headline shape (32768 x 10 kbp reads, 95% accuracy, W=64 K=64 O=33,
+# sk=16 kw=8, TPU v5e, 2026-08-19):
+#   - section costs from the doubled-section ablation, profile/ablation.csv
+#     (pm 0.0103s, fill 0.058s, tb 0.0236s per batch)
+#   - slab-glue + entries-accumulation residuals from the stage probe,
+#     tools/probe_scan.py (scan 0.1386s, scan_noents 0.1219s)
+#   - per-call dispatch/readback from worker-measured core (0.184s) minus
+#     the probe's back-to-back scan time.
+# The stale pre-calibration model priced a per-window gather that the slab
+# engine no longer performs (the one remaining gather — per-pair segment
+# extraction — is contiguous-sliced and fully overlaps the scan at the
+# headline shape, tools/probe_scan.py full==scan).
+# Constants are PER LANE (vector-op cost scales with the lanes a tile
+# holds: an (8,128) tile op costs half a (16,128) one), calibrated at the
+# sk=16 headline (2048 lanes/tile).
+TPU_FILL_S = 17.4e-9 / 2048   # per fill step x bitvector word x lane
+TPU_PM_S = 29.7e-9 / 2048     # per pattern char x lane (masks + unpack)
+TPU_TB_S = 18.6e-9 / 2048     # per tb level x stored column x word x lane
+TPU_GLUE_S = 0.81e-9          # per slab-io word x lane (normalize + slice)
+TPU_ENTS_BW = 87e9            # entries-accumulation effective bytes/s
+TPU_DISPATCH_S = 0.046        # per align_batch_mapped call (dispatch+readback)
 
 
 def expected_rows(W: int, O: int, error_rate: float, batch: int) -> float:
     """Expected DP rows per window with batched early termination: the
-    max window edit distance over `batch` lanes, approximated from the
-    Binomial(W-O, error_rate) upper tail."""
+    max window edit distance over `batch` lockstep lanes, approximated
+    from the Binomial(W-O, error_rate) upper tail."""
     tb = W - O
     mean = tb * error_rate
     std = math.sqrt(max(tb * error_rate * (1 - error_rate), 1e-9))
@@ -171,28 +190,61 @@ def expected_rows(W: int, O: int, error_rate: float, batch: int) -> float:
 
 def tpu_aligns_per_second(W: int = 64, K: int = 64, O: int = 33,
                           read_len: int = 10_000, error_rate: float = 0.05,
-                          batch: int = 2048, kw: int = 8) -> dict:
-    """Predicted kernel aligns/s/chip for the Pallas engine."""
-    nw = (W + 31) // 32
-    tb = W - O
+                          batch: int = 32_768, kw: int = 0,
+                          sk: int = 0) -> dict:
+    """Predicted kernel-only aligns/s/chip for the Pallas engine.
+
+    Mirrors the engine's actual structure: an outer slab loop (ceil(
+    windows/kw) kernel calls), per window a pattern-mask build, a two-row
+    wavefront fill over ceil((rows+1)/2) passes of W+2 steps, a per-level
+    traceback sweep over the stored columns, plus slab glue (normalize +
+    contiguous slice) and the HBM entries accumulation. Kernel shapes
+    (sk, kw) come from the real chooser unless overridden.
+
+    Validation vs the recorded operating-point sweep (2026-08-19,
+    profile/simulated_32768_10000_device_sweep_WO.csv, ET rows):
+    within 15% for W in [32, 160] (-13%@32, -3%@64, -14%@96, -7%@128,
+    +7%@160); -25% at W=256, where the per-lane linear-in-NW fill cost
+    overestimates the 8-word bitvector's real cost."""
+    from ..config import AlignConfig
+    from ..ops import engine_pallas as ep
+
+    cfg = AlignConfig(W=W, K=K, O=O)
+    S = max(batch // 128, 1)
+    if not (sk and kw):
+        sk_c, kw_c = ep.choose_kernel_shape(cfg, S)
+        sk, kw = sk or sk_c, kw or kw_c
+    if not sk:
+        return {"aligns_per_second": 0.0, "windows": 0, "rows_per_window": 0}
+    nw = cfg.num_words
+    nwh = cfg.num_tb_words
+    cols = cfg.columns
+    tb = cfg.tb_limit
+    ne3 = ep.tb_rows(cfg)
+    nwd = ep.slab_io_words(cfg, kw)
     windows = math.ceil(read_len / tb * (1 + error_rate))
-    rows = expected_rows(W, O, error_rate, batch)
-    # fill: (rows x (W+1)) steps x ~(9*nw + 4) vector ops on `batch` lanes
-    fill_ops = rows * (W + 1) * (9 * nw + 4) * batch
-    # masks/unpack: ~(4*32*nw + 2*W*(nw+4)) ops
-    prep_ops = (4 * 32 * nw + 2 * W * (nw + 4)) * batch
-    # traceback: ~path steps x (2*COLS + 30) ops
-    tb_ops = (rows + 2 * tb) * (2 * (tb + 1) + 30) * batch
-    window_s = (fill_ops + prep_ops + tb_ops) / TPU_VPU_OPS_PER_S
-    # slab gathers amortized over kw windows
-    slab_words = ((kw - 1) * tb + W) // 16 + 1
-    gather_s = 2 * slab_words * batch * TPU_GATHER_S_PER_ELEM / kw
-    total_s = windows * (window_s + gather_s)
+    slabs = -(-windows // kw)
+    rows = expected_rows(W, O, error_rate, sk * 128)
+    passes = (rows + 2) / 2  # two DP rows per wavefront pass
+    levels = min(rows, ep.tb_rows(cfg) / 2)
+
+    fill_s = windows * batch * passes * (W + 2) * nw * TPU_FILL_S
+    pm_s = windows * batch * W * TPU_PM_S
+    tb_s = windows * batch * levels * cols * nwh * TPU_TB_S
+    glue_s = slabs * nwd * batch * TPU_GLUE_S
+    ents_s = slabs * kw * ne3 * batch * 2 / TPU_ENTS_BW
+    total_s = fill_s + pm_s + tb_s + glue_s + ents_s + TPU_DISPATCH_S
     return {
         "windows": windows,
         "rows_per_window": rows,
-        "window_us": window_s * 1e6,
-        "gather_us_per_window": gather_s * 1e6,
+        "sk": sk,
+        "kw": kw,
+        "fill_ms": fill_s * 1e3,
+        "pm_ms": pm_s * 1e3,
+        "tb_ms": tb_s * 1e3,
+        "glue_ms": glue_s * 1e3,
+        "ents_ms": ents_s * 1e3,
+        "dispatch_ms": TPU_DISPATCH_S * 1e3,
         "aligns_per_second": batch / total_s,
     }
 
@@ -206,7 +258,7 @@ def main(argv=None) -> int:
     p.add_argument("--O", type=int, default=33)
     p.add_argument("--read_len", type=int, default=10_000)
     p.add_argument("--error_rate", type=float, default=0.05)
-    p.add_argument("--batch", type=int, default=2048)
+    p.add_argument("--batch", type=int, default=32_768)
     args = p.parse_args(argv)
 
     if args.mode == "improvements":

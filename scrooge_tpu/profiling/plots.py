@@ -114,7 +114,7 @@ def plot_accuracy(device_csv: str, exact_csv: str, out: str):
 
 
 def plot_roofline(csv_path: str, out: str, read_len: int = 10_000,
-                  error_rate: float = 0.05, batch: int = 2048):
+                  error_rate: float = 0.05):
     import matplotlib
 
     matplotlib.use("Agg")
@@ -124,15 +124,20 @@ def plot_roofline(csv_path: str, out: str, read_len: int = 10_000,
 
     rows = _read_csv(csv_path)
     meas: Dict[int, float] = {}
+    batches: Dict[int, int] = {}
     for r in rows:
         if _bool(r["early termination"]):
             w = int(float(r["W"]))
-            meas[w] = max(meas.get(w, 0.0), float(r["aligns/second"]))
+            if float(r["aligns/second"]) >= meas.get(w, 0.0):
+                meas[w] = float(r["aligns/second"])
+                # rows record the memory-cap batch they actually ran at;
+                # the model must be evaluated at the same point
+                batches[w] = int(float(r.get("batch", 2048)))
 
     ws = sorted(meas)
     model = [tpu_aligns_per_second(
         W=w, K=w, O=min(w // 2 + 1, w - 1), read_len=read_len,
-        error_rate=error_rate, batch=batch)["aligns_per_second"]
+        error_rate=error_rate, batch=batches[w])["aligns_per_second"]
         for w in ws]
 
     fig, ax = plt.subplots(figsize=(6, 4))

@@ -413,8 +413,11 @@ def test_compact_flat_logshift_matches_oracle():
                 keep = min(cap, len(want))
                 assert np.array_equal(out[:keep, b], want[:keep]), (L, cap, b)
                 assert (out[keep:, b] == 0).all()
-    # dtype switch: L >= 0xFFFF must route distances through int32
-    for L in (0xFFFF - 1, 0xFFFF + 1):
+    # dtype switch: L >= 0xFFFF must route distances through int32. One
+    # case at the exact switch point (the uint16 path is already covered
+    # by the small-L grid above; a second huge-L compile added ~100s of
+    # suite time for no extra coverage)
+    for L in (0xFFFF,):
         B = 2
         flat = rng.integers(1, 1 << 16, (L, B)).astype(np.uint16)
         valid = rng.uniform(size=(L, B)) < 0.001
