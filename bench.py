@@ -39,7 +39,12 @@ def main():
     from scrooge_tpu.config import AlignConfig
     from scrooge_tpu.utils.simulate import simulate_dataset
 
-    cfg = AlignConfig(W=64, K=64, O=33, early_termination=True,
+    # BENCH_W/BENCH_O select the window config: default is the reference's
+    # representative long-read point (W=64 O=33, plot.py:1277-1291); the
+    # short-read point is W=32 O=17 (plot.py:1304-1331).
+    W = int(os.environ.get("BENCH_W", "64"))
+    cfg = AlignConfig(W=W, K=W, O=int(os.environ.get("BENCH_O", str(W // 2 + 1))),
+                      early_termination=True,
                       batch_tile=int(os.environ.get("BENCH_TILE", "32768")))
 
     # BENCH_DECOYS > 0 switches to the chained candidate model (extra
