@@ -26,22 +26,66 @@ _lib = None
 _tried = False
 
 
-def _build_one(src: str, so: str) -> Optional[str]:
+def _build_one(src: str, so: str, extra=()) -> Optional[str]:
     if os.path.exists(so) and os.path.getmtime(so) >= os.path.getmtime(src):
         return so
-    try:
-        subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", src, "-o",
-             so + ".tmp"],
-            check=True, capture_output=True, timeout=120)
-        os.replace(so + ".tmp", so)
-        return so
-    except (OSError, subprocess.SubprocessError):
-        return None
+    base = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", *extra, src,
+            "-o", so + ".tmp"]
+    # -march=native first (the SWAR/BMI2 fast paths), plain second
+    for cmd in ([*base[:2], "-march=native", *base[2:]], base):
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+            os.replace(so + ".tmp", so)
+            return so
+        except (OSError, subprocess.SubprocessError):
+            continue
+    return None
 
 
 def _build() -> Optional[str]:
     return _build_one(_SRC, _SO)
+
+
+# ---------------------------------------------------------------------------
+# CPython extension (_scroogext): zero-copy str encoding + token decoding.
+# Built on demand like the ctypes library; loaded as a real extension
+# module so it can touch PyUnicode internals and build result strings
+# directly (no pybind11 in the image — plain CPython C API).
+
+_SRC_EXT = os.path.join(_DIR, "scroogext.cpp")
+_ext = None
+_ext_tried = False
+
+
+def get_ext():
+    """The loaded _scroogext extension module, or None if unavailable."""
+    global _ext, _ext_tried
+    with _lock:
+        if _ext_tried:
+            return _ext
+        _ext_tried = True
+        import sysconfig
+
+        inc = sysconfig.get_paths().get("include")
+        if not inc or not os.path.exists(os.path.join(inc, "Python.h")):
+            return None
+        so = os.path.join(_DIR, "_scroogext.so")
+        path = _build_one(_SRC_EXT, so, extra=(f"-I{inc}",))
+        if path is None:
+            return None
+        try:
+            import importlib.machinery
+            import importlib.util
+
+            loader = importlib.machinery.ExtensionFileLoader(
+                "_scroogext", path)
+            spec = importlib.util.spec_from_loader("_scroogext", loader)
+            mod = importlib.util.module_from_spec(spec)
+            loader.exec_module(mod)
+        except ImportError:
+            return None
+        _ext = mod
+        return _ext
 
 
 def get_lib():
@@ -207,12 +251,21 @@ def encode_pack_strs(contents, width: int) -> Optional[np.ndarray]:
     """Fused ASCII -> 2-bit -> packed-word rows: (len(contents),
     ceil(width/16)) uint32, one C++ pass (ascii_to_zero_based_string +
     2-bit packing, genasm_cpu.cpp:462-493 / genasm_gpu.cu:640-685, fused).
-    None if the native lib is unavailable; ValueError on non-ACGT."""
+    None if no native backend is available; ValueError on non-ACGT.
+
+    Fast path: the _scroogext extension reads each str's buffer in place
+    (no join/encode copies — those dominated host prep at headline batch
+    sizes). Fallback: ctypes library over one joined ASCII buffer."""
+    Pw = -(-width // 16)
+    ext = get_ext()
+    if ext is not None:
+        out = np.empty((len(contents), Pw), np.uint32)
+        ext.encode_pack_into(contents, Pw, out.ctypes.data)
+        return out
     lib = get_lib()
     if lib is None:
         return None
     joined, buf, starts, lens = _encode_strs_common(contents)
-    Pw = -(-width // 16)
     out = np.empty((len(contents), Pw), np.uint32)
     bad = np.zeros(1, np.int64)
     rc = lib.encode_pack_rows(buf.ctypes.data, starts.ctypes.data,
@@ -225,7 +278,12 @@ def encode_pack_strs(contents, width: int) -> Optional[np.ndarray]:
 
 def encode_strs(contents, width: int) -> Optional[np.ndarray]:
     """ASCII -> 2-bit code rows (len(contents), width) uint8, zero-padded,
-    one C++ pass. None if the native lib is unavailable."""
+    one C++ pass. None if no native backend is available."""
+    ext = get_ext()
+    if ext is not None:
+        out = np.empty((len(contents), width), np.uint8)
+        ext.encode_into(contents, width, out.ctypes.data)
+        return out
     lib = get_lib()
     if lib is None:
         return None
@@ -238,6 +296,62 @@ def encode_strs(contents, width: int) -> Optional[np.ndarray]:
     if rc != 0:
         _raise_bad(joined, int(bad[0]))
     return out
+
+
+def format_tokens(tokens: np.ndarray, totals: np.ndarray
+                  ) -> Optional[List[str]]:
+    """CIGAR token stream -> strings (token format: ops/tokens.py).
+
+    tokens: (capT, B) uint8, column per lane; totals: (B,) token counts.
+    Result strings are built directly as PyUnicode objects. None if the
+    extension is unavailable (callers fall back to the run paths)."""
+    ext = get_ext()
+    if ext is None:
+        return None
+    tokens = np.ascontiguousarray(tokens, np.uint8)
+    totals = np.ascontiguousarray(totals, np.int32)
+    capT, B = tokens.shape
+    return ext.format_tokens(tokens.ctypes.data, capT, B, totals.ctypes.data)
+
+
+def tokens_to_runs(tokens: np.ndarray, totals: np.ndarray):
+    """CIGAR token stream -> (flat uint16 runs, per-lane run counts).
+
+    Lane b's runs are contiguous at [cumsum(counts)[b-1], cumsum(counts)[b])
+    — the return_packed layout. None if the extension is unavailable."""
+    ext = get_ext()
+    if ext is None:
+        return None
+    tokens = np.ascontiguousarray(tokens, np.uint8)
+    totals = np.ascontiguousarray(totals, np.int32)
+    capT, B = tokens.shape
+    # each token decodes to at most 2 runs
+    bound = 2 * int(np.minimum(totals, capT).sum())
+    out = np.empty(bound, np.uint16)
+    counts = np.empty(B, np.int64)
+    n = ext.tokens_to_runs(tokens.ctypes.data, capT, B, totals.ctypes.data,
+                           out.ctypes.data, counts.ctypes.data)
+    return out[:n], counts
+
+
+def scatter_runs(flat: np.ndarray, offs: np.ndarray, idx: np.ndarray,
+                 lens: np.ndarray, out: np.ndarray,
+                 out_offs: np.ndarray) -> bool:
+    """Permutation-copy packed runs into their final pair order (the
+    PackedAlignments assembly step). Returns False if unavailable."""
+    ext = get_ext()
+    if ext is None:
+        return False
+    flat = np.ascontiguousarray(flat, np.uint16)
+    offs = np.ascontiguousarray(offs, np.int64)
+    idx = np.ascontiguousarray(idx, np.int64)
+    lens = np.ascontiguousarray(lens, np.int64)
+    out_offs = np.ascontiguousarray(out_offs, np.int64)
+    assert out.dtype == np.uint16 and out.flags.c_contiguous
+    ext.scatter_runs(flat.ctypes.data, offs.ctypes.data, idx.ctypes.data,
+                     len(idx), lens.ctypes.data, out.ctypes.data,
+                     out_offs.ctypes.data)
+    return True
 
 
 def extract_runs(entries: np.ndarray,
