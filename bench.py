@@ -85,26 +85,42 @@ def main():
     # cross-aligner normalization the reference sweep uses
     # (profile.py:415-434); GenASM itself touches only O(len*W) cells
     gcups = aligns_per_s * read_len * read_len / 1e9
+    # measured link rates during THIS run: the tunnel's bandwidth swings
+    # ~8-150 MB/s across sessions, so end-to-end numbers are only
+    # interpretable next to the rates they were achieved at
+    h2d = (stats.upload_bytes / max(stats.upload_ns, 1)) * 1e3
+    d2h = (stats.readback_bytes / max(stats.readback_ns, 1)) * 1e3
     print(
         f"# pairs={stats.num_pairs} core={stats.core_ns/1e9:.3f}s "
         f"wall={wall_s:.3f}s retried={stats.retried_pairs} "
         f"end_to_end={stats.num_pairs/wall_s:.1f} aligns/s "
         f"end_to_end_packed={stats.num_pairs/packed_wall_s:.1f} aligns/s "
-        f"gcups_equiv={gcups:.1f}",
+        f"gcups_equiv={gcups:.1f} "
+        f"link[h2d={h2d:.0f}MB/s d2h={d2h:.0f}MB/s]",
         file=sys.stderr,
     )
     print(f"# {stats.breakdown()}", file=sys.stderr)
     print(f"# packed: {pstats.breakdown()}", file=sys.stderr)
-    print(json.dumps({
-        "metric": "long_read_aligns_per_second",
+    # The metric name follows the operating point (the recorded short-read
+    # runs previously carried the long-read label); vs_baseline is only
+    # meaningful against the reference's long-read RTX-3060 example
+    # (README.md:103-108), so it is emitted only at that operating point.
+    long_read = read_len >= 1000
+    out = {
+        "metric": ("long_read" if long_read else "short_read")
+                  + "_aligns_per_second",
         "value": round(aligns_per_s, 1),
         "unit": "aligns/s",
-        "vs_baseline": round(aligns_per_s / BASELINE_ALIGNS_PER_S, 4),
         "gcups_equivalent": round(gcups, 2),
         "end_to_end_aligns_per_second": round(stats.num_pairs / wall_s, 1),
         "end_to_end_packed_aligns_per_second":
             round(stats.num_pairs / packed_wall_s, 1),
-    }))
+        "link_h2d_mb_s": round(h2d, 1),
+        "link_d2h_mb_s": round(d2h, 1),
+    }
+    if long_read:
+        out["vs_baseline"] = round(aligns_per_s / BASELINE_ALIGNS_PER_S, 4)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

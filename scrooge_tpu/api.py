@@ -140,15 +140,17 @@ def _tile_B(n_lanes: int, tile_size: int, mesh) -> int:
     return min(tile_size, max(1024, 1 << (max(n_lanes, 2) - 1).bit_length()))
 
 
-def _device_put_synced(*arrays, shardings=None, stats=None):
-    """device_put + force the transfers to complete.
+def _device_put_synced(*arrays, shardings=None, stats=None, force=True):
+    """device_put (+ optionally force the transfers to complete).
 
     Keeps data transfer out of the timed core section (the reference's
     core_algorithm_ns likewise excludes transfers, genasm_gpu.cu:890-944).
     block_until_ready can return early on tunneled TPU plugins, so sync by
-    reading one element back from each buffer. With ``shardings`` the
-    buffers are placed batch-sharded across the mesh directly (each
-    device receives only its shard)."""
+    reading one element back from each buffer. ``force=False`` skips that
+    (each force is a full tunnel roundtrip — for KB-sized side arrays the
+    timing attribution is not worth ~30-60ms of serialization). With
+    ``shardings`` the buffers are placed batch-sharded across the mesh
+    directly (each device receives only its shard)."""
     import jax
 
     t0 = time.perf_counter_ns()
@@ -156,9 +158,10 @@ def _device_put_synced(*arrays, shardings=None, stats=None):
         out = [jax.device_put(x) for x in arrays]
     else:
         out = [jax.device_put(x, s) for x, s in zip(arrays, shardings)]
-    for x in out:
-        if x.size:
-            np.asarray(jax.numpy.ravel(x)[:1])
+    if force:
+        for x in out:
+            if x.size:
+                np.asarray(jax.numpy.ravel(x)[:1])
     if stats is not None:
         stats.upload_ns += time.perf_counter_ns() - t0
         stats.upload_bytes += sum(a.nbytes for a in arrays)
@@ -195,8 +198,10 @@ def _upload_rows_chunked(stats, n_rows: int, build_chunk,
     t0 = time.perf_counter_ns()
 
     def put(x):
+        # no per-chunk completion force: each force is a full tunnel
+        # roundtrip (~30-60ms) that serializes the stream; transfers are
+        # enqueued async and ONE force at the end drains them all
         d = jax.device_put(x)
-        np.asarray(jnp.ravel(d)[:1])  # force the transfer (see module doc)
         stats.upload_bytes += x.nbytes
         return d
 
@@ -213,6 +218,7 @@ def _upload_rows_chunked(stats, n_rows: int, build_chunk,
         if pending is not None:
             devs.append(pending.result())
     out = devs[0] if len(devs) == 1 else jnp.concatenate(devs, axis=0)
+    np.asarray(jnp.ravel(out)[:1])  # force once (see module doc)
     stats.upload_ns += time.perf_counter_ns() - t0
     return out
 
@@ -293,41 +299,118 @@ def _resolve_backend(cfg: AlignConfig, batch: int, n_dev: int = 1):
     return "xla", 0, 0
 
 
-def _build_alignments(cfg, res, stats, eds_host=None,
+def _tokens_payload(cfg, res, stats, cap, sparse_rows, packed_out):
+    """Compressed-readback postprocess: device token stream -> payload.
+
+    The compacted run stream is re-coded on device into the byte-token
+    format (ops/tokens.py) and only the tokens cross the link — measured
+    ~0.6x the u8 run bytes before padding. Host decode (C extension)
+    reproduces the exact run stream, so CIGARs are byte-identical to the
+    uncompressed path (tests/test_tokens.py, test_engine token cases)."""
+    from . import native
+    from .ops import tokens as tokens_mod
+
+    t0 = time.perf_counter_ns()
+    toks2, _, tok_tot_dev = tokens_mod.compact_tokenize(
+        res.entries, res.counts, cap, sparse_rows)
+    tok_tot = np.asarray(tok_tot_dev)  # sync: picks the static token cap
+    capT = _bucket_lin(max(int(tok_tot.max(initial=0)), 1), 128)
+    toksc = tokens_mod.compact_tokens(toks2, capT)
+    stats.compact_ns += time.perf_counter_ns() - t0
+
+    B = int(tok_tot.shape[0])
+    n_chunks = min(8, max(1, B // 4096))
+    cb = -(-B // n_chunks)
+    chunks = [(c0, min(c0 + cb, B)) for c0 in range(0, B, cb)]
+
+    t_rb0 = time.perf_counter_ns()
+    consume_ns = 0
+    from concurrent.futures import ThreadPoolExecutor
+
+    def read_chunk(c0, c1):
+        part = np.asarray(toksc[:, c0:c1])
+        stats.readback_bytes += part.nbytes
+        return part
+
+    cigars: List[str] = []
+    flats: List[np.ndarray] = []
+    counts_parts: List[np.ndarray] = []
+    # two readback streams: the tunnel measures ~1.4x aggregate d2h with
+    # two concurrent transfers, and decode of chunk c runs under them
+    with ThreadPoolExecutor(max_workers=2) as rb_pool:
+        futs = [rb_pool.submit(read_chunk, c0, c1) for c0, c1 in chunks]
+        for fut, (c0, c1) in zip(futs, chunks):
+            part = fut.result()
+            tc0 = time.perf_counter_ns()
+            if packed_out:
+                flat_c, counts_c = native.tokens_to_runs(part,
+                                                         tok_tot[c0:c1])
+                flats.append(flat_c)
+                counts_parts.append(counts_c)
+            else:
+                cigars.extend(native.format_tokens(part, tok_tot[c0:c1]))
+            consume_ns += time.perf_counter_ns() - tc0
+    if not packed_out:  # format_ns is stringification only (API contract:
+        stats.format_ns += consume_ns  # packed mode reports format_ns == 0)
+    stats.readback_ns += time.perf_counter_ns() - t_rb0 - consume_ns
+    stats.postprocess_ns += time.perf_counter_ns() - t0
+    if not packed_out:
+        return cigars
+    flat = flats[0] if len(flats) == 1 else np.concatenate(flats)
+    counts = (counts_parts[0] if len(counts_parts) == 1
+              else np.concatenate(counts_parts))
+    offs = np.zeros(B + 1, np.int64)
+    np.cumsum(counts, out=offs[1:])
+    return flat, offs
+
+
+def _build_alignments(cfg, res, stats, meta=None,
                       sparse_rows=False, mesh=None, packed_out=False):
     """Stringify device results and collect failures.
 
     The per-window run buffer is worst-case sized, so it is compacted on
     device to the actual run count before readback (device->host bandwidth
-    is the scarce resource), then formatted to strings in C++.
+    is the scarce resource), then — when the config's run counts fit the
+    token format — re-coded to the compressed byte-token stream
+    (_tokens_payload). ``meta`` is the engine_xla.batch_meta host readback
+    (eds, run totals, failure mask) if the caller already synced it.
     sparse_rows selects the Pallas engine's sparse-row entry layout
     (engine_pallas.compact_entries_sparse) over the dense engine_xla one.
     With ``mesh``, compaction runs shard_mapped so its flat-index binary
     searches stay device-local instead of becoming cross-device gathers.
     With ``packed_out`` the formatting step is skipped entirely and the
-    third return value is ``(entries_u16, totals)`` — the packed-run
-    columns (cap, B) normalized to the uint16 op<<12|count layout — for
-    the return_packed API.
+    second return value is ``(runs_u16_flat, offsets)`` in lane order —
+    the return_packed payload.
     """
     import jax.numpy as jnp
 
     from . import native
+    from .ops import tokens as tokens_mod
     from .ops.engine_pallas import (
         compact_entries_sparse,
         compact_entries_sparse_u8,
     )
-    from .ops.engine_xla import compact_entries, compact_entries_u8
+    from .ops.engine_xla import batch_meta, compact_entries, compact_entries_u8
     from .ops.postprocess import entries_to_cigars
 
     if sparse_rows:
         compact_entries = compact_entries_sparse
         compact_entries_u8 = compact_entries_sparse_u8
 
-    t0 = time.perf_counter_ns()
-    # compact on device first: the raw run buffer is worst-case sized and
-    # device->host readback is the scarce resource
-    totals_host = np.asarray(jnp.sum(res.counts, axis=0))
+    if meta is None:
+        meta = np.asarray(batch_meta(res))
+    eds_host, totals_host, failed = meta[0], meta[1], meta[2]
+    if sparse_rows:  # only the Pallas engine's mask is a reason bitmask
+        stats.count_fail_reasons(failed)
+
     cap = _bucket_lin(max(int(totals_host.max(initial=0)), 1), 128)
+    if (mesh is None and tokens_mod.supports(cfg)
+            and native.get_ext() is not None):
+        payload = _tokens_payload(cfg, res, stats, cap, sparse_rows,
+                                  packed_out)
+        return eds_host, payload, failed
+
+    t0 = time.perf_counter_ns()
     use_u8 = cfg.tb_limit <= 63 and native.get_lib() is not None
     if mesh is not None:
         from .parallel import mesh as mesh_mod
@@ -417,11 +500,7 @@ def _build_alignments(cfg, res, stats, eds_host=None,
                     stats.format_ns += time.perf_counter_ns() - tf0
         payload = cigars
     stats.postprocess_ns += time.perf_counter_ns() - t0
-
-    eds = np.asarray(res.edit_distance) if eds_host is None else eds_host
-    failed = np.asarray(res.failed)
-    stats.count_fail_reasons(failed)
-    return eds, payload, failed
+    return eds_host, payload, failed
 
 
 def _runs_from_cigar(cigar: str) -> np.ndarray:
@@ -438,6 +517,51 @@ def _runs_from_cigar(cigar: str) -> np.ndarray:
             count -= 0x0FFF
         out.append(code | count)
     return np.array(out, np.uint16)
+
+
+def _assemble_packed_parts(n: int, parts, results) -> PackedAlignments:
+    """Merge device tiles' lane-order packed payloads + retry Alignments
+    into one pair-order PackedAlignments.
+
+    parts: (flat, offs, idxs, eds, failed) per tile — tile lane ``k`` maps
+    to pair index ``idxs[k]``; failed lanes defer to ``results`` (filled by
+    the retry path). Assembly is two vectorized passes (length scatter,
+    then a native permutation memcpy) instead of the per-pair view +
+    concatenate walk, which measured slower than the string path it was
+    meant to beat (round-3 BENCH: packed 4.8k vs strings 5.4k aligns/s).
+    """
+    from . import native
+
+    eds_out = np.zeros(n, np.int32)
+    lens = np.zeros(n, np.int64)
+    retry_runs = {}
+    for i, r in enumerate(results):
+        if isinstance(r, Alignment):
+            runs = _runs_from_cigar(r.cigar)
+            retry_runs[i] = runs
+            lens[i] = len(runs)
+            eds_out[i] = r.edit_distance
+    sel = []  # (flat, src_offs, dst_idx, src_lens) per tile
+    for flat, offs, idxs, eds, failed in parts:
+        k = len(idxs)
+        idx_arr = np.asarray(idxs, np.int64)
+        ok = np.asarray(failed[:k]) == 0
+        src_lens = offs[1 : k + 1] - offs[:k]
+        dst = idx_arr[ok]
+        lens[dst] = src_lens[ok]
+        eds_out[dst] = np.asarray(eds[:k])[ok]
+        sel.append((flat, offs[:k][ok], dst, src_lens[ok]))
+    out_offs = np.zeros(n + 1, np.int64)
+    np.cumsum(lens, out=out_offs[1:])
+    out = np.empty(int(out_offs[-1]), np.uint16)
+    for flat, src_offs, dst, src_lens in sel:
+        if not native.scatter_runs(flat, src_offs, dst, src_lens, out,
+                                   out_offs):
+            for o, i, ln in zip(src_offs, dst, src_lens):
+                out[out_offs[i] : out_offs[i] + ln] = flat[o : o + ln]
+    for i, runs in retry_runs.items():
+        out[out_offs[i] : out_offs[i] + len(runs)] = runs
+    return PackedAlignments(eds_out, out_offs, out)
 
 
 def _assemble_packed(results) -> PackedAlignments:
@@ -616,6 +740,7 @@ def align_pairs(
     order = sorted(range(len(texts)), key=lambda i: -len(queries[i]))
     results: List[Optional[Alignment]] = [None] * len(texts)
     retry_items: List[tuple] = []
+    packed_parts: List[tuple] = []
 
     tile_size = cfg.batch_tile
     n_tiles = -(-len(order) // tile_size) if order else 0
@@ -672,7 +797,8 @@ def align_pairs(
                                                 build_rows(texts, T))
                 pattern_dev = _upload_rows_chunked(stats, B,
                                                   build_rows(queries, P))
-                small = _device_put_synced(tlen, plen, stats=stats)
+                small = _device_put_synced(tlen, plen, stats=stats,
+                                           force=False)
                 args = (text_dev, small[0], pattern_dev, small[1])
             else:
                 from .parallel import mesh as mesh_mod
@@ -701,26 +827,25 @@ def align_pairs(
                 res = engine_xla.align_batch(cfg, maxw, *args)
 
             def postprocess(idxs=idxs, res=res, tns=tns):
-                # device-completion sync via a tiny readback on the worker
-                # thread (block_until_ready can return early on remote-tunnel
-                # plugins): the main loop encodes+uploads tile n+1 while tile
-                # n computes and reads back (see align_reads for the pipeline
-                # shape — prep/H2D of n+1 ∥ compute of n ∥ postprocess of n-1)
-                eds_host = np.asarray(res.edit_distance)
+                # device-completion sync via the fused meta readback on the
+                # worker thread (block_until_ready can return early on
+                # remote-tunnel plugins): the main loop encodes+uploads tile
+                # n+1 while tile n computes and reads back (prep/H2D of n+1
+                # ∥ compute of n ∥ postprocess of n-1)
+                meta = np.asarray(engine_xla.batch_meta(res))
                 stats.core_ns += time.perf_counter_ns() - tns
                 eds, payload, failed = _build_alignments(
-                    cfg, res, stats, eds_host,
+                    cfg, res, stats, meta,
                     sparse_rows=(engine == "pallas"), mesh=mesh,
                     packed_out=return_packed)
-                flat, offs = payload if return_packed else (None, None)
+                if return_packed:
+                    packed_parts.append((payload[0], payload[1], idxs, eds,
+                                         failed))
                 for lane, i in enumerate(idxs):
                     if failed[lane]:
                         retry_items.append((i, encode_np(texts[i]),
                                             encode_np(queries[i])))
-                    elif return_packed:
-                        results[i] = (int(eds[lane]),
-                                      flat[offs[lane] : offs[lane + 1]])
-                    else:
+                    elif not return_packed:
                         results[i] = Alignment(cigar=payload[lane],
                                                edit_distance=int(eds[lane]))
 
@@ -742,7 +867,7 @@ def align_pairs(
     _retry_batched_xla(cfg, retry_items, stats, results, mesh,
                        engine)
     if return_packed:
-        packed = _assemble_packed(results)
+        packed = _assemble_packed_parts(len(texts), packed_parts, results)
         _log_throughput(stats)
         return (packed, stats) if return_stats else packed
     _log_throughput(stats)
@@ -919,6 +1044,7 @@ def align_reads(
     order = sorted(range(len(pairs)), key=lambda i: -qlens[i])
     results: List[Optional[Alignment]] = [None] * len(pairs)
     retry_items: List[tuple] = []
+    packed_parts: List[tuple] = []
 
     tile_size = cfg.batch_tile
     n_tiles = -(-len(order) // tile_size) if order else 0
@@ -978,7 +1104,8 @@ def align_reads(
 
             if mesh is None:
                 pattern_dev = _upload_rows_chunked(stats, B, build_pattern_rows)
-                small = _device_put_synced(starts, tlen, plen, stats=stats)
+                small = _device_put_synced(starts, tlen, plen,
+                                           stats=stats, force=False)
                 args = (small[0], small[1], pattern_dev, small[2])
             else:
                 from .parallel import mesh as mesh_mod
@@ -1007,19 +1134,22 @@ def align_reads(
                 res = engine_xla.align_batch_mapped(cfg, maxw, genome_dev, *args)
 
             def postprocess(idxs=idxs, res=res, tns=tns, tlen=tlen):
-                # the device-completion sync (tiny readback — block_until_ready
-                # returns early on tunnel plugins) runs HERE, on the worker
-                # thread: the main loop goes on to encode+upload tile n+1
-                # while tile n still computes, so H2D rides the link during
-                # device time. With >1 tile in flight core_ns can overlap
-                # upload_ns; the single-tile bench keeps a clean kernel split.
-                eds_host = np.asarray(res.edit_distance)
+                # the device-completion sync (fused meta readback —
+                # block_until_ready returns early on tunnel plugins) runs
+                # HERE, on the worker thread: the main loop goes on to
+                # encode+upload tile n+1 while tile n still computes, so H2D
+                # rides the link during device time. With >1 tile in flight
+                # core_ns can overlap upload_ns; the single-tile bench keeps
+                # a clean kernel split.
+                meta = np.asarray(engine_xla.batch_meta(res))
                 stats.core_ns += time.perf_counter_ns() - tns
                 eds, payload, failed = _build_alignments(
-                    cfg, res, stats, eds_host,
+                    cfg, res, stats, meta,
                     sparse_rows=(engine == "pallas"), mesh=mesh,
                     packed_out=return_packed)
-                flat, offs = payload if return_packed else (None, None)
+                if return_packed:
+                    packed_parts.append((payload[0], payload[1], idxs, eds,
+                                         failed))
                 for lane, i in enumerate(idxs):
                     if failed[lane]:
                         start = pairs[i][0]
@@ -1027,10 +1157,7 @@ def align_reads(
                         retry_items.append(
                             (i, encode_np(reference.content[start:end]),
                              encode_np(pairs[i][1].content)))
-                    elif return_packed:
-                        results[i] = (int(eds[lane]),
-                                      flat[offs[lane] : offs[lane + 1]])
-                    else:
+                    elif not return_packed:
                         results[i] = Alignment(cigar=payload[lane],
                                                edit_distance=int(eds[lane]))
 
@@ -1054,7 +1181,7 @@ def align_reads(
     _retry_batched_xla(cfg, retry_items, stats, results, mesh,
                        engine)
     if return_packed:
-        packed = _assemble_packed(results)
+        packed = _assemble_packed_parts(len(pairs), packed_parts, results)
         _log_throughput(stats)
         return (packed, stats) if return_stats else packed
     _log_throughput(stats)

@@ -443,6 +443,18 @@ def align_batch_mapped(cfg: AlignConfig, max_windows: int,
                        text_len, pattern, pattern_len)
 
 
+@jax.jit
+def batch_meta(res: BatchResult):
+    """Per-lane (edit distance, run total, failure mask) as ONE (3, B)
+    int32 array, so the host learns all three in a single d2h roundtrip
+    (each roundtrip costs ~30-60ms on tunneled rigs)."""
+    return jnp.stack([
+        res.edit_distance.astype(jnp.int32),
+        jnp.sum(res.counts, axis=0).astype(jnp.int32),
+        res.failed.astype(jnp.int32),
+    ])
+
+
 def cumsum_log(x, axis: int = 0):
     """Inclusive prefix sum via log-depth pad-shift adds.
 

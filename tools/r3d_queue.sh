@@ -21,7 +21,7 @@ wait_tpu() {
   return 1
 }
 
-run() { echo "=== STEP $step_no START $(date) $*" >> "$LOG"; wait_tpu; "$@" >> "$LOG" 2>&1; echo "=== STEP $step_no END rc=$? $(date)" >> "$LOG"; }
+run() { echo "=== STEP $step_no START $(date) $*" >> "$LOG"; wait_tpu || { echo "=== STEP $step_no SKIP no device" >> "$LOG"; return 1; }; "$@" >> "$LOG" 2>&1; echo "=== STEP $step_no END rc=$? $(date)" >> "$LOG"; }
 
 step_no=1
 if [ "$start" -le 1 ]; then
