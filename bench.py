@@ -54,11 +54,11 @@ def main():
                           read_len=read_len, accuracy=accuracy, seed=7,
                           decoys=decoys)
 
-    # warmup: trace + compile on one full tile (same shapes as the timed
-    # run, so the timed section is guaranteed cache-hot), excluded from
+    # warmup: trace + compile over the FULL dataset (multi-tile runs hit
+    # data-dependent compaction-cap buckets per tile; warming only the
+    # first tile leaks those compiles into the timed pass), excluded from
     # timing
-    warm = ds.reads[: cfg.batch_tile]
-    align_reads(ds.genome, warm, cfg)
+    align_reads(ds.genome, ds.reads, cfg)
 
     # single-tile pass: the clean kernel-only split (with one tile in
     # flight, core_ns cannot overlap transport) -> the headline metric.

@@ -73,6 +73,9 @@ class AlignStats:
     core_ns: int = 0
     postprocess_ns: int = 0
     retried_pairs: int = 0
+    # pairs resolved by the Pallas tb_cap-escalation ladder (a subset of
+    # retried_pairs that never reached the slow full-K XLA engine)
+    escalated_pairs: int = 0
     # pipeline telemetry
     prep_ns: int = 0          # host-side encode/pack/tile fill
     upload_ns: int = 0        # blocking h2d transfer time
@@ -101,6 +104,8 @@ class AlignStats:
                 f"readback={f(self.readback_ns)}"
                 f"/{self.readback_bytes/1e6:.1f}MB "
                 f"format={f(self.format_ns)} retried={self.retried_pairs}"
+                + (f" escalated={self.escalated_pairs}"
+                   if self.escalated_pairs else "")
                 + (f" fail[tb={self.fail_tb_pairs} "
                    f"stall={self.fail_stall_pairs} "
                    f"drift={self.fail_drift_pairs} "
@@ -314,7 +319,9 @@ def _tokens_payload(cfg, res, stats, cap, sparse_rows, packed_out):
     toks2, _, tok_tot_dev = tokens_mod.compact_tokenize(
         res.entries, res.counts, cap, sparse_rows)
     tok_tot = np.asarray(tok_tot_dev)  # sync: picks the static token cap
-    capT = _bucket_lin(max(int(tok_tot.max(initial=0)), 1), 128)
+    # 256-bucket: balances readback pad (~avg 128 tokens/lane) against
+    # re-tracing the token compaction per distinct cap across tiles
+    capT = _bucket_lin(max(int(tok_tot.max(initial=0)), 1), 256)
     toksc = tokens_mod.compact_tokens(toks2, capT)
     stats.compact_ns += time.perf_counter_ns() - t0
 
@@ -328,7 +335,8 @@ def _tokens_payload(cfg, res, stats, cap, sparse_rows, packed_out):
     from concurrent.futures import ThreadPoolExecutor
 
     def read_chunk(c0, c1):
-        part = np.asarray(toksc[:, c0:c1])
+        # toksc is lane-major (B, capT): row ranges are contiguous
+        part = np.asarray(toksc[c0:c1, :])
         stats.readback_bytes += part.nbytes
         return part
 
@@ -403,12 +411,18 @@ def _build_alignments(cfg, res, stats, meta=None,
     if sparse_rows:  # only the Pallas engine's mask is a reason bitmask
         stats.count_fail_reasons(failed)
 
-    cap = _bucket_lin(max(int(totals_host.max(initial=0)), 1), 128)
     if (mesh is None and tokens_mod.supports(cfg)
             and native.get_ext() is not None):
+        # coarse cap bucket: each distinct cap re-traces the (large)
+        # compaction program, and multi-tile runs see a different max per
+        # tile; the pad here costs only device-internal traffic (readback
+        # is sized by the token cap, bucketed in _tokens_payload)
+        cap = _bucket_lin(max(int(totals_host.max(initial=0)), 1), 512)
         payload = _tokens_payload(cfg, res, stats, cap, sparse_rows,
                                   packed_out)
         return eds_host, payload, failed
+
+    cap = _bucket_lin(max(int(totals_host.max(initial=0)), 1), 128)
 
     t0 = time.perf_counter_ns()
     use_u8 = cfg.tb_limit <= 63 and native.get_lib() is not None
@@ -595,19 +609,89 @@ def _retry_pyref(cfg, text_codes: np.ndarray, pattern_codes: np.ndarray,
     return Alignment(cigar=cigar, edit_distance=ed)
 
 
+def _escalate_tb_cap(cfg, items, stats, results):
+    """Pallas-engine tb_cap escalation ladder.
+
+    Lanes that failed ONLY because a window's edit distance exceeded
+    tb_cap (FAIL_TB without FAIL_DRIFT) re-run on the SAME Pallas engine
+    with the cap doubled — still VMEM-resident and ~10^3x faster than the
+    full-K XLA fallback — until they succeed or the cap reaches K (where
+    the Pallas engine searches the full K, so the ladder terminates with
+    exact full-K coverage at kernel speed). Drift/stall failures skip the
+    ladder (a higher cap cannot fix slab geometry). Returns the items
+    still unresolved, reasons updated from the last rung."""
+    import dataclasses
+
+    from .ops import engine_pallas, engine_xla
+
+    esc, rest = [], []
+    for it in items:
+        tb_only = (it[3] & engine_pallas.FAIL_TB) and not (
+            it[3] & engine_pallas.FAIL_DRIFT)
+        (esc if tb_only else rest).append(it)
+
+    cap = cfg.tb_cap
+    while esc and cap < cfg.K:
+        cap = min(2 * cap, cfg.K)
+        cfg2 = dataclasses.replace(cfg, tb_cap_override=cap)
+        chunk = max(cfg.batch_tile, 128)
+        still = []
+        for c0 in range(0, len(esc), chunk):
+            part = esc[c0 : c0 + chunk]
+            B = _bucket_lin(len(part), 128)
+            sk, kw = engine_pallas.choose_kernel_shape(cfg2, B // 128)
+            if sk == 0:  # escalated R no longer fits VMEM -> XLA fallback
+                return rest + esc
+            P = _bucket_lin(max((len(p) for _, _, p, _ in part), default=1)
+                            or 1, 1024)
+            T = _bucket_lin(max((len(t) for _, t, _, _ in part), default=1)
+                            or 1, 1024)
+            longest = max((len(p) for _, _, p, _ in part), default=1) or 1
+            maxw = -(-cfg.max_windows(longest) // 32) * 32
+            text = np.zeros((B, T), np.uint8)
+            pattern = np.zeros((B, P), np.uint8)
+            tlen = np.zeros(B, np.int32)
+            plen = np.zeros(B, np.int32)
+            tlen[: len(part)] = _fill_rows(text, [t for _, t, _, _ in part])
+            plen[: len(part)] = _fill_rows(pattern,
+                                           [p for _, _, p, _ in part])
+            args = _device_put_synced(
+                engine_pallas.pack_2bit_host(text), tlen,
+                engine_pallas.pack_2bit_host(pattern), plen, stats=stats)
+            res = engine_pallas.align_batch(cfg2, maxw, sk, kw, *args)
+            eds, cigars, failed = _build_alignments(cfg2, res, stats,
+                                                    sparse_rows=True)
+            for lane, (ri, t, p, _) in enumerate(part):
+                if failed[lane]:
+                    still.append((ri, t, p, int(failed[lane])))
+                else:
+                    stats.escalated_pairs += 1
+                    results[ri] = Alignment(cigar=cigars[lane],
+                                            edit_distance=int(eds[lane]))
+        esc = [it for it in still
+               if (it[3] & engine_pallas.FAIL_TB)
+               and not (it[3] & engine_pallas.FAIL_DRIFT)]
+        rest += [it for it in still
+                 if not ((it[3] & engine_pallas.FAIL_TB)
+                         and not (it[3] & engine_pallas.FAIL_DRIFT))]
+    return rest + esc
+
+
 def _retry_batched_xla(cfg, items, stats, results, mesh=None, engine=None):
     """Batched retry for lanes the Pallas engine failed.
 
     The Pallas engine gives up on a window whose edit distance exceeds
-    tb_cap (and on pathological slab drift); the XLA engine searches the
-    full K with no drift constraints, so retrying THERE — one batched
-    device call over all failed pairs — avoids the ~10^3x cost cliff of
-    per-pair scalar retries (real read-mapping inputs contain garbage
-    candidate locations that fail en masse). Only pairs the full-K engine
-    also rejects fall through to the exact scalar path, which raises
-    AlignmentError for genuinely unalignable pairs.
+    tb_cap (and on pathological slab drift); tb_cap failures first climb
+    the Pallas escalation ladder (_escalate_tb_cap), and whatever remains
+    retries on the XLA engine, which searches the full K with no drift
+    constraints — one batched device call over all failed pairs avoids
+    the ~10^3x cost cliff of per-pair scalar retries (real read-mapping
+    inputs contain garbage candidate locations that fail en masse). Only
+    pairs the full-K engine also rejects fall through to the exact scalar
+    path, which raises AlignmentError for genuinely unalignable pairs.
 
-    items: list of (result_index, text_codes, pattern_codes).
+    items: list of (result_index, text_codes, pattern_codes, reason) with
+    reason the Pallas FAIL_* bitmask (engine "xla" passes 1).
     Writes Alignment objects into results[result_index]. Runs on the
     pairs mesh when one is given — decoy-heavy inputs fail thousands of
     lanes at once, and an unsharded retry would idle every other device.
@@ -623,9 +707,13 @@ def _retry_batched_xla(cfg, items, stats, results, mesh=None, engine=None):
         # scalar oracle, which raises AlignmentError when truly
         # unalignable. (The batched retry exists as the Pallas→XLA
         # escalation: tb_cap / drift limits don't exist on XLA.)
-        for ri, t, p in items:
+        for ri, t, p, _ in items:
             results[ri] = _retry_pyref(cfg, t, p, ri)
         return
+    if engine == "pallas" and cfg.retry_escalation and mesh is None:
+        items = _escalate_tb_cap(cfg, items, stats, results)
+        if not items:
+            return
     lane_mult = 128 * (int(mesh.devices.size) if mesh is not None else 1)
     # cap the per-call lane count: the full-K XLA engine is the slow
     # fallback (~300 aligns/s on 10 kbp reads), and a >8192-lane call on
@@ -638,18 +726,19 @@ def _retry_batched_xla(cfg, items, stats, results, mesh=None, engine=None):
     for c0 in range(0, len(items), chunk):
         part = items[c0 : c0 + chunk]
         B = _bucket_lin(len(part), lane_mult)
-        P = _bucket_lin(max((len(p) for _, _, p in part), default=1) or 1,
-                        1024)
-        T = _bucket_lin(max((len(t) for _, t, _ in part), default=1) or 1,
-                        1024)
-        longest = max((len(p) for _, _, p in part), default=1) or 1
+        P = _bucket_lin(max((len(p) for _, _, p, _ in part), default=1)
+                        or 1, 1024)
+        T = _bucket_lin(max((len(t) for _, t, _, _ in part), default=1)
+                        or 1, 1024)
+        longest = max((len(p) for _, _, p, _ in part), default=1) or 1
         maxw = -(-cfg.max_windows(longest) // 32) * 32
         text = np.zeros((B, T), np.uint8)
         pattern = np.zeros((B, P), np.uint8)
         tlen = np.zeros(B, np.int32)
         plen = np.zeros(B, np.int32)
-        tlen[: len(part)] = _fill_rows(text, [t for _, t, _ in part])
-        plen[: len(part)] = _fill_rows(pattern, [p for _, _, p in part])
+        tlen[: len(part)] = _fill_rows(text, [t for _, t, _, _ in part])
+        plen[: len(part)] = _fill_rows(pattern,
+                                       [p for _, _, p, _ in part])
         if mesh is not None:
             from .parallel import mesh as mesh_mod
 
@@ -660,7 +749,7 @@ def _retry_batched_xla(cfg, items, stats, results, mesh=None, engine=None):
             res = engine_xla.align_batch(cfg, maxw, *args)
         eds, cigars, failed = _build_alignments(cfg, res, stats,
                                                 mesh=mesh)
-        for lane, (ri, t, p) in enumerate(part):
+        for lane, (ri, t, p, _) in enumerate(part):
             if failed[lane]:
                 results[ri] = _retry_pyref(cfg, t, p, ri)
             else:
@@ -844,7 +933,8 @@ def align_pairs(
                 for lane, i in enumerate(idxs):
                     if failed[lane]:
                         retry_items.append((i, encode_np(texts[i]),
-                                            encode_np(queries[i])))
+                                            encode_np(queries[i]),
+                                            int(failed[lane])))
                     elif not return_packed:
                         results[i] = Alignment(cigar=payload[lane],
                                                edit_distance=int(eds[lane]))
@@ -1156,7 +1246,8 @@ def align_reads(
                         end = min(glen, start + int(tlen[lane]))
                         retry_items.append(
                             (i, encode_np(reference.content[start:end]),
-                             encode_np(pairs[i][1].content)))
+                             encode_np(pairs[i][1].content),
+                             int(failed[lane])))
                     elif not return_packed:
                         results[i] = Alignment(cigar=payload[lane],
                                                edit_distance=int(eds[lane]))

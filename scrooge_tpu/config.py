@@ -57,6 +57,12 @@ class AlignConfig:
     # trades VMEM + fill iterations for fewer retry-cliff lanes on
     # high-error (ONT-like) inputs.
     tb_cap_override: int = 0
+    # tb_cap escalation: lanes that fail ONLY because a window's edit
+    # distance exceeded tb_cap re-run on the Pallas engine with the cap
+    # doubled (up to K) before falling to the ~10^3x-slower full-K XLA
+    # retry. Output-invariant (the ladder ends at full-K coverage either
+    # way); purely a retry-path performance policy.
+    retry_escalation: bool = True
 
     def __post_init__(self):
         if self.W < 2:

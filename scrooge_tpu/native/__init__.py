@@ -302,20 +302,22 @@ def format_tokens(tokens: np.ndarray, totals: np.ndarray
                   ) -> Optional[List[str]]:
     """CIGAR token stream -> strings (token format: ops/tokens.py).
 
-    tokens: (capT, B) uint8, column per lane; totals: (B,) token counts.
-    Result strings are built directly as PyUnicode objects. None if the
-    extension is unavailable (callers fall back to the run paths)."""
+    tokens: (B, capT) uint8 LANE-MAJOR (lane b's tokens contiguous);
+    totals: (B,) token counts. Result strings are built directly as
+    PyUnicode objects. None if the extension is unavailable (callers fall
+    back to the run paths)."""
     ext = get_ext()
     if ext is None:
         return None
     tokens = np.ascontiguousarray(tokens, np.uint8)
     totals = np.ascontiguousarray(totals, np.int32)
-    capT, B = tokens.shape
+    B, capT = tokens.shape
     return ext.format_tokens(tokens.ctypes.data, capT, B, totals.ctypes.data)
 
 
 def tokens_to_runs(tokens: np.ndarray, totals: np.ndarray):
-    """CIGAR token stream -> (flat uint16 runs, per-lane run counts).
+    """CIGAR token stream (B, capT) LANE-MAJOR -> (flat uint16 runs,
+    per-lane run counts).
 
     Lane b's runs are contiguous at [cumsum(counts)[b-1], cumsum(counts)[b])
     — the return_packed layout. None if the extension is unavailable."""
@@ -324,7 +326,7 @@ def tokens_to_runs(tokens: np.ndarray, totals: np.ndarray):
         return None
     tokens = np.ascontiguousarray(tokens, np.uint8)
     totals = np.ascontiguousarray(totals, np.int32)
-    capT, B = tokens.shape
+    B, capT = tokens.shape
     # each token decodes to at most 2 runs
     bound = 2 * int(np.minimum(totals, capT).sum())
     out = np.empty(bound, np.uint16)

@@ -288,15 +288,17 @@ static PyObject* encode_into(PyObject*, PyObject* args) {
 
 static const char OPS[5] = {'=', 'X', 'I', 'D', '?'};
 
-// shared per-lane walk: calls EMIT(op, count) for each decoded run
+// shared per-lane walk: calls EMIT(op, count) for each decoded run.
+// toks points at the lane's FIRST token; tokens are contiguous (the
+// device emits the compacted stream lane-major, ops/tokens.py).
 template <typename Emit>
-static inline void decode_lane(const uint8_t* toks, int64_t capT, int64_t B,
+static inline void decode_lane(const uint8_t* toks, int64_t capT,
                                int64_t t, Emit&& emit) {
     if (t > capT) t = capT;
     int pend_op = -1;
     uint32_t pend_cnt = 0;
     for (int64_t g = 0; g < t; g++) {
-        uint8_t tok = toks[g * B];  // column-major (capT, B), lane offset
+        uint8_t tok = toks[g];
         uint32_t tag = tok >> 5, val = tok & 31;
         if (tag == 4) {
             pend_cnt += val;
@@ -318,7 +320,7 @@ static inline void decode_lane(const uint8_t* toks, int64_t capT, int64_t B,
 }
 
 // format_tokens(tok_addr, capT, B, totals_addr) -> list[str]
-// tokens: (capT, B) uint8 column-per-lane; totals: (B,) int32.
+// tokens: (B, capT) uint8 LANE-MAJOR; totals: (B,) int32.
 static PyObject* format_tokens(PyObject*, PyObject* args) {
     unsigned long long tok_addr, totals_addr;
     Py_ssize_t capT, B;
@@ -331,7 +333,8 @@ static PyObject* format_tokens(PyObject*, PyObject* args) {
     std::vector<char> buf;
     for (Py_ssize_t b = 0; b < B; b++) {
         buf.clear();
-        decode_lane(toks + b, capT, B, totals[b], [&](int op, uint32_t cnt) {
+        decode_lane(toks + b * capT, capT, totals[b],
+                    [&](int op, uint32_t cnt) {
             char digits[8];
             int nd = 0;
             if (cnt == 0) digits[nd++] = '0';
@@ -355,9 +358,10 @@ static PyObject* format_tokens(PyObject*, PyObject* args) {
 
 // tokens_to_runs(tok_addr, capT, B, totals_addr, out_addr, counts_addr)
 //   -> total_runs
-// Decodes the token stream to packed uint16 runs (op << 12 | count),
-// lane-contiguous in lane order. out must hold >= 2 * sum(totals) entries
-// (each token expands to at most 2 runs); counts: (B,) int64 runs/lane.
+// tokens: (B, capT) uint8 LANE-MAJOR. Decodes the token stream to packed
+// uint16 runs (op << 12 | count), lane-contiguous in lane order. out must
+// hold >= 2 * sum(totals) entries (each token expands to at most 2 runs);
+// counts: (B,) int64 runs/lane.
 static PyObject* tokens_to_runs(PyObject*, PyObject* args) {
     unsigned long long tok_addr, totals_addr, out_addr, counts_addr;
     Py_ssize_t capT, B;
@@ -372,7 +376,8 @@ static PyObject* tokens_to_runs(PyObject*, PyObject* args) {
     Py_BEGIN_ALLOW_THREADS
     for (Py_ssize_t b = 0; b < B; b++) {
         int64_t start = pos;
-        decode_lane(toks + b, capT, B, totals[b], [&](int op, uint32_t cnt) {
+        decode_lane(toks + b * capT, capT, totals[b],
+                    [&](int op, uint32_t cnt) {
             out[pos++] = (uint16_t)(((uint32_t)op << 12) | (cnt & 0x0FFF));
         });
         counts[b] = pos - start;

@@ -333,14 +333,33 @@ def _mw_bit_u32(words, t):
     return acc != 0
 
 
+def _select_word(idx, values):
+    """values[idx] (idx a traced array, values a static list) via a
+    log-depth balanced select tree.
+
+    Mosaic compile time explodes on long LINEAR select chains (a 35-word
+    chain did not finish compiling in 40 minutes; see MAX_SLAB_WORDS) —
+    the chain's dependency depth, not its op count, is what blows up. The
+    tree emits the same n-1 selects at depth log2(n), which compiles
+     30+-word selections in seconds and is what lets kw grow past 8."""
+    vals = list(values)
+    bit = 1
+    while len(vals) > 1:
+        nxt = []
+        for j in range(0, len(vals) - 1, 2):
+            nxt.append(jnp.where((idx & bit) != 0, vals[j + 1], vals[j]))
+        if len(vals) % 2:
+            nxt.append(vals[-1])
+        vals = nxt
+        bit <<= 1
+    return vals[0]
+
+
 def _unpack_char(words, bit, nwd):
     """Extract the 2-bit code at per-lane bit offset `bit` from the per-lane
     word list `words` (each (sk,128) uint32). bit in [0, 32*nwd)."""
-    widx = bit >> 5
+    word = _select_word(bit >> 5, words[:nwd])
     sh = bit & 31
-    word = words[0]
-    for wdi in range(1, nwd):
-        word = jnp.where(widx == wdi, words[wdi], word)
     return ((word.astype(jnp.int32) >> sh) & 3).astype(jnp.int32)
 
 
@@ -377,12 +396,8 @@ def _multi_window_kernel(cfg: AlignConfig, kw: int,
     def _normalize(words_ref, off_raw):
         raw = [words_ref[wdi] for wdi in range(NWD)]
         woff = off_raw >> 5
-        out = []
-        for k in range(NWDC):
-            word = raw[k]
-            for mm in range(1, SLAB_MARGIN_WORDS + 1):
-                word = jnp.where(woff == mm, raw[k + mm], word)
-            out.append(word)
+        out = [_select_word(woff, raw[k : k + SLAB_MARGIN_WORDS + 1])
+               for k in range(NWDC)]
         return out, off_raw & 31
 
     twords, toff0 = _normalize(twords_ref, toff_ref[...])
@@ -427,16 +442,13 @@ def _multi_window_kernel(cfg: AlignConfig, kw: int,
                 wbase = poff >> 5
                 accs = [[jnp.zeros(lane, jnp.uint32) for _ in range(NW)]
                         for _ in range(4)]
+                pwords_x = pwords + [pwords[-1]]  # w1 dummy near slab end
                 for g in range(W // 16):
                     # packed chars 16g..16g+15 of the window, at per-lane
                     # word offset wbase and bit phase sh within the slab
-                    w0 = pwords[g]
-                    w1 = pwords[g + 1]
-                    for wb in range(1, NWDC):
-                        if g + wb + 1 < NWDC:
-                            w0 = jnp.where(wbase == wb, pwords[g + wb], w0)
-                            w1 = jnp.where(wbase == wb,
-                                           pwords[g + wb + 1], w1)
+                    # (tree-selected: see _select_word)
+                    w0 = _select_word(wbase, pwords[g:NWDC])
+                    w1 = _select_word(wbase, pwords_x[g + 1 : NWDC + 1])
                     val = (w0 >> sh) | jnp.where(sh == 0, jnp.uint32(0),
                                                  w1 << ish)
                     for c in range(4):

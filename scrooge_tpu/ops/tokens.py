@@ -93,28 +93,33 @@ def compact_tokenize(entries, counts, cap: int, sparse: bool):
 
 @functools.partial(jax.jit, static_argnums=(1,))
 def compact_tokens(toks, capT: int):
-    """Log-shift-compact the token candidates to their (capT, B) prefix."""
+    """Log-shift-compact the token candidates and return them LANE-MAJOR
+    (B, capT): the host decoder walks each lane's tokens sequentially, and
+    a column-major walk (stride B) costs a cache miss per token — measured
+    ~6x the whole decode. The transpose runs on device where it is a few
+    ms of VPU shuffles."""
     from .engine_xla import _compact_flat_logshift
 
     out, _ = _compact_flat_logshift(toks, toks != 0, capT)
-    return out
+    return out.T
 
 
 def decode_tokens_py(toks, totals):
     """Scalar-oracle token decoder (mirrors scroogext.cpp decode_lane):
-    token stream -> list of per-lane [(op, count), ...] runs. Test/fallback
-    only — the production decode is the C extension."""
+    lane-major (B, capT) token stream -> list of per-lane
+    [(op, count), ...] runs. Test/fallback only — the production decode
+    is the C extension."""
     import numpy as np
 
     toks = np.asarray(toks)
     totals = np.asarray(totals)
-    capT, B = toks.shape
+    B, capT = toks.shape
     out = []
     for b in range(B):
         runs = []
         pend = None  # (op, cnt)
         for g in range(min(int(totals[b]), capT)):
-            tok = int(toks[g, b])
+            tok = int(toks[b, g])
             tag, val = tok >> VAL_BITS, tok & VAL_MASK
             if tag == TAG_EXT:
                 pend = (pend[0], pend[1] + val)

@@ -106,6 +106,86 @@ def measure(engine: str, per_device: int, read_len: int, reps: int):
     return rows
 
 
+def measure_device_time(engine: str, per_device: int, read_len: int,
+                        reps: int):
+    """Per-device DEVICE-TIME constancy proxy on the virtual CPU mesh.
+
+    On ``--xla_force_host_platform_device_count=N`` every virtual device
+    executes on the host's cores, so process CPU time is (up to host
+    overhead) the SUM of all virtual devices' device time. With the
+    per-device batch fixed, a sharding that adds no collectives and
+    duplicates no work must consume N times the 1-device CPU time at N
+    devices — i.e. constant per-device device time. work_ratio reports
+    cpu_N / (N * cpu_1): ~1.0 = no sharding-induced work; >1 would mean
+    the sharded program does extra per-device work (recompute,
+    collectives, layout churn). This is the quantitative companion to the
+    zero-collectives HLO assertion (tests/test_parallel.py) for the
+    BASELINE >=80%-at-2-hosts target: constant per-device device time +
+    zero steady-state collectives is exactly what that target needs from
+    the program side (the rest is host dispatch, measured separately by
+    the --distributed harness)."""
+    import jax
+
+    from ..config import AlignConfig
+    from ..ops import engine_pallas
+    from ..parallel import mesh as M
+
+    cfg = AlignConfig(W=64, K=64, O=33)
+    platform = jax.default_backend()
+    n_all = len(jax.devices())
+    rows = []
+    base_cpu = None
+    n = 1
+    while n <= n_all:
+        B = per_device * n
+        rng = np.random.default_rng(5)
+        tl = read_len + 80
+        text = rng.integers(0, 4, (B, tl), dtype=np.uint8)
+        pattern = np.where(
+            rng.random((B, read_len)) < 0.05,
+            rng.integers(0, 4, (B, read_len), dtype=np.uint8),
+            text[:, :read_len]).astype(np.uint8)
+        tlen = np.full(B, tl, np.int32)
+        plen = np.full(B, read_len, np.int32)
+        maxw = cfg.max_windows(read_len)
+        mesh = M.make_mesh(n)
+
+        if engine == "pallas":
+            S_local = per_device // 128
+            sk, kw = engine_pallas.choose_kernel_shape(cfg, S_local)
+            tw = engine_pallas.pack_2bit_host(text)
+            pw = engine_pallas.pack_2bit_host(pattern)
+
+            def run():
+                return M.pallas_align_on_mesh(cfg, maxw, sk, kw, mesh,
+                                              tw, tlen, pw, plen)
+        else:
+            def run():
+                return M.align_batch_on_mesh(cfg, maxw, mesh,
+                                             text, tlen, pattern, plen)
+
+        np.asarray(run().edit_distance)  # compile + warm
+        c0 = time.process_time()
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            np.asarray(run().edit_distance)
+        cpu = (time.process_time() - c0) / reps
+        wall = (time.perf_counter() - t0) / reps
+        if base_cpu is None:
+            base_cpu = cpu
+        ratio = cpu / (base_cpu * n)
+        rows.append({"platform": platform, "engine": engine, "devices": n,
+                     "batch": B, "read_len": read_len,
+                     "cpu_s": round(cpu, 4), "wall_s": round(wall, 4),
+                     "per_device_cpu_s": round(cpu / n, 4),
+                     "work_ratio": round(ratio, 4)})
+        print(f"devices={n} batch={B} cpu={cpu:.3f}s "
+              f"per-device={cpu / n:.3f}s work_ratio={ratio:.3f}",
+              file=sys.stderr)
+        n *= 2
+    return rows
+
+
 def _dist_worker(pid: int, nproc: int, port: str, per_process: int,
                  read_len: int) -> int:
     """One jax.distributed process of the multi-host harness: aligns its
@@ -203,6 +283,10 @@ def main(argv=None) -> int:
     p.add_argument("--distributed", type=int, default=0, metavar="N",
                    help="launch a real N-process jax.distributed "
                         "weak-scaling run on this machine (vs 1 process)")
+    p.add_argument("--device_time", action="store_true",
+                   help="measure per-device device-time constancy on the "
+                        "virtual mesh (work_ratio ~1.0 = sharding adds no "
+                        "per-device work) instead of wall throughput")
     p.add_argument("--per_process", type=int, default=2048)
     p.add_argument("--dist_worker", default=None, metavar="PID:NPROC:PORT",
                    help="internal: run as one distributed process")
@@ -214,7 +298,12 @@ def main(argv=None) -> int:
     if args.distributed:
         return run_distributed(args.distributed, args.per_process,
                                args.read_len, args.out)
-    rows = measure(args.engine, args.per_device, args.read_len, args.reps)
+    if args.device_time:
+        rows = measure_device_time(args.engine, args.per_device,
+                                   args.read_len, args.reps)
+    else:
+        rows = measure(args.engine, args.per_device, args.read_len,
+                       args.reps)
     with open(args.out, "w", newline="") as f:
         w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
         w.writeheader()

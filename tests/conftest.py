@@ -6,7 +6,14 @@ virtual CPU mesh per the build contract. Must run before jax imports.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# FORCE cpu (not setdefault): tunneled-TPU rigs export JAX_PLATFORMS=axon
+# globally, and the axon plugin additionally activates off
+# PALLAS_AXON_POOL_IPS regardless of JAX_PLATFORMS — with either in
+# effect the suite would silently run through the TPU tunnel (slow,
+# link-weather-dependent, and without the 8 virtual devices the mesh
+# tests need).
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     flags = (flags + " --xla_force_host_platform_device_count=8").strip()
