@@ -421,8 +421,28 @@ def _multi_window_kernel(cfg: AlignConfig, kw: int,
         n_split = jnp.min(jnp.where(done != 0, W, n))
         split = jnp.clip(W - n_split + 2, 2, W + 2)
         lane_ones = _ones_shifted_u32(s, W, NW)
-        toff = toff0 + 2 * (ref_idx - ref0)
-        poff = poff0 + 2 * (read_idx - read0)
+        toff_raw = toff0 + 2 * (ref_idx - ref0)
+        poff_raw = poff0 + 2 * (read_idx - read0)
+
+        # Per-window RE-BASE: select this window's <= WINW slab words once
+        # (tree depth log2(bound_k), bound_k grows with the window's slab
+        # position) so every later per-char/group unpack selects over WINW
+        # words instead of the whole slab. Without this the per-char
+        # select work scales with slab size and eats the dispatch savings
+        # of fusing more windows per slab (measured: kw=16/32 ran no
+        # faster than kw=8 before re-basing).
+        WINW = min(W // 16 + 2, NWDC)
+        # toff0 < 32 and the window advance is <= k*TB chars
+        bound = min(((30 + 2 * k * TB) >> 5) + 1, NWDC)
+
+        def _rebase(words, woff):
+            return [_select_word(woff, words[j : j + bound])
+                    for j in range(WINW)]
+
+        twin = _rebase(twords, toff_raw >> 5)
+        pwin = _rebase(pwords, poff_raw >> 5)
+        toff = toff_raw & 31
+        poff = poff_raw & 31
 
         def build_pm():
             # ---- pattern bitmasks (genasm_cpu.cpp:178-198, MSB-aligned):
@@ -437,18 +457,17 @@ def _multi_window_kernel(cfg: AlignConfig, kw: int,
                 # ~4x fewer ops and far less unrolled code than per-bit
                 # accumulation (Mosaic compile time scales with unrolled
                 # op count).
+                # poff < 32 after the window re-base, so group g's pair
+                # of source words is statically pwin[g], pwin[g+1] — no
+                # per-group selects at all
                 sh = poff.astype(jnp.uint32) & jnp.uint32(31)
                 ish = (jnp.uint32(32) - sh) & jnp.uint32(31)
-                wbase = poff >> 5
                 accs = [[jnp.zeros(lane, jnp.uint32) for _ in range(NW)]
                         for _ in range(4)]
-                pwords_x = pwords + [pwords[-1]]  # w1 dummy near slab end
+                pwin_x = pwin + [pwin[-1]]  # w1 dummy near slab end
                 for g in range(W // 16):
-                    # packed chars 16g..16g+15 of the window, at per-lane
-                    # word offset wbase and bit phase sh within the slab
-                    # (tree-selected: see _select_word)
-                    w0 = _select_word(wbase, pwords[g:NWDC])
-                    w1 = _select_word(wbase, pwords_x[g + 1 : NWDC + 1])
+                    w0 = pwin_x[min(g, WINW - 1)]
+                    w1 = pwin_x[min(g + 1, WINW)]
                     val = (w0 >> sh) | jnp.where(sh == 0, jnp.uint32(0),
                                                  w1 << ish)
                     for c in range(4):
@@ -477,7 +496,7 @@ def _multi_window_kernel(cfg: AlignConfig, kw: int,
             else:
                 # odd widths: per-char accumulation via unpacked chars
                 for j in range(W):
-                    upat_ref[j] = _unpack_char(pwords, poff + 2 * j, NWDC)
+                    upat_ref[j] = _unpack_char(pwin, poff + 2 * j, WINW)
                 for c in range(4):
                     for w in range(NW):
                         acc = jnp.zeros(lane, jnp.uint32)
@@ -490,7 +509,7 @@ def _multi_window_kernel(cfg: AlignConfig, kw: int,
                         pmc[c][w] = (~acc) & lane_ones[w]
 
             def pm_body(i, _):
-                t = _unpack_char(twords, toff + 2 * i, NWDC)
+                t = _unpack_char(twin, toff + 2 * i, WINW)
                 for w in range(NW):
                     word = pmc[0][w]
                     for c in range(1, 4):
@@ -798,7 +817,14 @@ def _multi_window_kernel(cfg: AlignConfig, kw: int,
         read_idx = read_idx + jnp.where(take, j, 0)
         done = ((read_idx >= plen) | (failed != 0)).astype(jnp.int32)
 
-        entries_ref[k * NE3 : (k + 1) * NE3] = ent_ref[...]
+        # pack row pairs (2j, 2j+1) into one int32 word (each packed run
+        # is op << 12 | cnt <= 0x3FFF): halves the kernel's HBM output
+        # traffic — the entries store is the kernel's largest write
+        # (NE3 * kw * 4 bytes/lane/slab)
+        NE3H = NE3 // 2
+        for j in range(NE3H):
+            entries_ref[k * NE3H + j] = (ent_ref[2 * j]
+                                         | (ent_ref[2 * j + 1] << 16))
         nfl_ref[k] = jnp.where(take, nfl, 0)
 
     ref_out[...] = ref_idx
@@ -817,11 +843,14 @@ def slab_step_kernel(cfg: AlignConfig, kw: int, sk: int,
     twords/pwords: (NWD, S, 128) uint32 packed slab words; toff/poff:
     (S, 128) int32 slab-start bit offsets; the remaining args are the
     (S, 128) int32 windowing carry. Returns the updated carry plus
-    entries (KW*NE, S, 128) int32 and per-window run counts (KW, S, 128).
+    PAIR-PACKED entries (KW*NE/2, S, 128) int32 — rows (2j, 2j+1) of each
+    window's sparse run rows in the low/high halfwords — and per-window
+    run counts (KW, S, 128).
     """
     W = cfg.W
     NWD = slab_io_words(cfg, kw)
     NE3 = tb_rows(cfg)
+    NE3H = NE3 // 2
     S = tlen.shape[0]
     assert S % sk == 0, (S, sk)
     grid = (S // sk,)
@@ -841,12 +870,12 @@ def slab_step_kernel(cfg: AlignConfig, kw: int, sk: int,
         jax.ShapeDtypeStruct((S, LANE), jnp.int32),  # ed
         jax.ShapeDtypeStruct((S, LANE), jnp.int32),  # done
         jax.ShapeDtypeStruct((S, LANE), jnp.int32),  # failed
-        jax.ShapeDtypeStruct((kw * NE3, S, LANE), jnp.int32),  # level runs
+        jax.ShapeDtypeStruct((kw * NE3H, S, LANE), jnp.int32),  # level runs
         jax.ShapeDtypeStruct((kw, S, LANE), jnp.int32),  # runs per window
     ]
     out_specs = [
         lane2, lane2, lane2, lane2, lane2,
-        pl.BlockSpec((kw * NE3, sk, LANE), im3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((kw * NE3H, sk, LANE), im3, memory_space=pltpu.VMEM),
         pl.BlockSpec((kw, sk, LANE), im3, memory_space=pltpu.VMEM),
     ]
     in_specs = [slab3, lane2, slab3, lane2, lane2, lane2,
@@ -951,7 +980,10 @@ def _align_scan(cfg: AlignConfig, sk: int, kw: int, max_windows: int,
     # while-based slab loop with early exit once every lane is done (a
     # fixed-length scan would run inert tail slabs: lanes finish at
     # data-dependent windows and maxw is a worst-case bound)
-    ents0 = jnp.zeros((n_steps, kw, NE3, B), jnp.uint16)
+    NE3H = NE3 // 2
+    # pair-packed kernel rows (two uint16 runs per int32, see
+    # slab_step_kernel); unpacked once after the loop
+    ents0 = jnp.zeros((n_steps, kw, NE3H, B), jnp.int32)
     cnts0 = jnp.zeros((n_steps, kw, B), jnp.int32)
 
     def loop_cond(st):
@@ -980,8 +1012,7 @@ def _align_scan(cfg: AlignConfig, sk: int, kw: int, max_windows: int,
             ref_idx, read_idx, ed, done, failed)
 
         ents = lax.dynamic_update_slice(
-            ents, entries_i.astype(jnp.uint16).reshape(1, kw, NE3, B),
-            (step, 0, 0, 0))
+            ents, entries_i.reshape(1, kw, NE3H, B), (step, 0, 0, 0))
         cnts = lax.dynamic_update_slice(
             cnts, nfl.reshape(1, kw, B), (step, 0, 0))
         new_carry = (ref_idx, read_idx, ed, done, failed)
@@ -995,8 +1026,12 @@ def _align_scan(cfg: AlignConfig, sk: int, kw: int, max_windows: int,
                                 FAIL_INCOMPLETE, 0)
 
     # SPARSE rows (tb_rows wide): non-empty slots are complete maximal
-    # runs in order; compact with compact_entries_sparse[_u8]
-    entries = entries.reshape(n_steps * kw, NE3, B)
+    # runs in order; compact with compact_entries_sparse[_u8].
+    # Unpack the kernel's pair-packed int32 rows (lo = row 2j, hi = 2j+1;
+    # values < 2^30 so the arithmetic >> is safe)
+    lo = (entries & 0xFFFF).astype(jnp.uint16)
+    hi = (entries >> 16).astype(jnp.uint16)
+    entries = jnp.stack([lo, hi], axis=3).reshape(n_steps * kw, NE3, B)
     counts = counts.reshape(n_steps * kw, B).astype(jnp.int32)
     if n_steps * kw > max_windows:
         # the slab loop runs whole slabs, so when kw does not divide
