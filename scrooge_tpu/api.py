@@ -304,7 +304,8 @@ def _resolve_backend(cfg: AlignConfig, batch: int, n_dev: int = 1):
     return "xla", 0, 0
 
 
-def _tokens_payload(cfg, res, stats, cap, sparse_rows, packed_out):
+def _tokens_payload(cfg, res, stats, cap, sparse_rows, packed_out,
+                    ne3c=0):
     """Compressed-readback postprocess: device token stream -> payload.
 
     The compacted run stream is re-coded on device into the byte-token
@@ -317,7 +318,7 @@ def _tokens_payload(cfg, res, stats, cap, sparse_rows, packed_out):
 
     t0 = time.perf_counter_ns()
     toks2, _, tok_tot_dev = tokens_mod.compact_tokenize(
-        res.entries, res.counts, cap, sparse_rows)
+        res.entries, res.counts, cap, sparse_rows, ne3c)
     tok_tot = np.asarray(tok_tot_dev)  # sync: picks the static token cap
     # 256-bucket: balances readback pad (~avg 128 tokens/lane) against
     # re-tracing the token compaction per distinct cap across tiles
@@ -418,8 +419,12 @@ def _build_alignments(cfg, res, stats, meta=None,
         # tile; the pad here costs only device-internal traffic (readback
         # is sized by the token cap, bucketed in _tokens_payload)
         cap = _bucket_lin(max(int(totals_host.max(initial=0)), 1), 512)
+        # two-level compaction slice: pow2 >= the batch's max runs in any
+        # one window (batch_meta row 3), min 4 — see tokens.compact_tokenize
+        wmax = int(meta[3].max(initial=0)) if meta.shape[0] > 3 else 0
+        ne3c = 1 << max(2, (max(wmax, 1) - 1).bit_length()) if wmax else 0
         payload = _tokens_payload(cfg, res, stats, cap, sparse_rows,
-                                  packed_out)
+                                  packed_out, ne3c)
         return eds_host, payload, failed
 
     cap = _bucket_lin(max(int(totals_host.max(initial=0)), 1), 128)

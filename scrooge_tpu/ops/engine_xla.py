@@ -445,13 +445,15 @@ def align_batch_mapped(cfg: AlignConfig, max_windows: int,
 
 @jax.jit
 def batch_meta(res: BatchResult):
-    """Per-lane (edit distance, run total, failure mask) as ONE (3, B)
-    int32 array, so the host learns all three in a single d2h roundtrip
-    (each roundtrip costs ~30-60ms on tunneled rigs)."""
+    """Per-lane (edit distance, run total, failure mask, max runs in any
+    one window) as ONE (4, B) int32 array, so the host learns all four in
+    a single d2h roundtrip (each roundtrip costs ~30-60ms on tunneled
+    rigs). Row 3 sizes the two-level compaction's window slice."""
     return jnp.stack([
         res.edit_distance.astype(jnp.int32),
         jnp.sum(res.counts, axis=0).astype(jnp.int32),
         res.failed.astype(jnp.int32),
+        jnp.max(res.counts, axis=0).astype(jnp.int32),
     ])
 
 

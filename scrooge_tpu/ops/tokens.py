@@ -71,8 +71,9 @@ def tokenize_u8(comp: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([tok_a, tok_b], axis=1).reshape(2 * cap, B)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3))
-def compact_tokenize(entries, counts, cap: int, sparse: bool):
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def compact_tokenize(entries, counts, cap: int, sparse: bool,
+                     ne3c: int = 0):
     """Sparse/dense engine rows -> (token candidates, run totals,
     token totals), one fused device call.
 
@@ -80,12 +81,38 @@ def compact_tokenize(entries, counts, cap: int, sparse: bool):
     compact_entries[_sparse]); cap: static run-compaction width (>= max
     per-lane run total, from the counts readback). The token candidate
     buffer (2*cap, B) stays on device; the caller syncs tok_totals to
-    choose the static token cap, then slices with compact_tokens."""
-    from .engine_pallas import compact_entries_sparse_u8
-    from .engine_xla import compact_entries_u8
+    choose the static token cap, then slices with compact_tokens.
 
-    compactor = compact_entries_sparse_u8 if sparse else compact_entries_u8
-    comp, totals = compactor(entries, counts, cap)
+    ne3c > 0 enables TWO-LEVEL compaction: windows are first packed to a
+    dense prefix (sparse rows only) and sliced to ne3c rows (a static
+    bound >= the batch's max runs in any window, from batch_meta row 3),
+    and only then globally log-shift-compacted. The global passes run
+    over MAXW*ne3c rows instead of MAXW*NE3 — at the headline shape
+    ne3c=16 vs NE3=66 cuts the compaction's HBM traffic ~4x (measured
+    0.41s device time single-level)."""
+    from .engine_xla import (_compact_flat_logshift, _dense_valid,
+                             _entries_to_u8)
+
+    maxw, ne3, b = entries.shape
+    if ne3c and ne3c < ne3:
+        e8 = _entries_to_u8(entries)
+        if sparse:
+            from .engine_pallas import _pack_rows_dense
+
+            e8 = _pack_rows_dense(e8)
+        sliced = e8[:, :ne3c]
+        valid = _dense_valid(counts, ne3c)
+        comp, totals = _compact_flat_logshift(
+            sliced.reshape(maxw * ne3c, b), valid.reshape(maxw * ne3c, b),
+            cap)
+        comp = comp.astype(jnp.uint8)
+    else:
+        from .engine_pallas import compact_entries_sparse_u8
+        from .engine_xla import compact_entries_u8
+
+        compactor = (compact_entries_sparse_u8 if sparse
+                     else compact_entries_u8)
+        comp, totals = compactor(entries, counts, cap)
     toks = tokenize_u8(comp)
     tok_totals = jnp.sum((toks != 0).astype(jnp.int32), axis=0)
     return toks, totals, tok_totals

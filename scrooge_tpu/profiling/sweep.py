@@ -97,8 +97,11 @@ def _run_throughput(genome, reads, cfg: AlignConfig, data: List,
     except Exception as e:  # config failed: record nothing, keep sweeping
         print(f"config failed ({e})", file=sys.stderr)
         return False
+    from ..api import _resolve_backend
+
+    engine = _resolve_backend(cfg, cfg.batch_tile)[0]
     data.append([cfg.W, cfg.O, cfg.early_termination, batch_col,
-                 stats.aligns_per_second])
+                 stats.aligns_per_second, engine])
     return True
 
 
@@ -155,7 +158,7 @@ def _run_throughput_ladder(genome, reads, cfg: AlignConfig, data: List,
 
 
 THROUGHPUT_HEADER = ["W", "O", "early termination", "batch",
-                     "aligns/second"]
+                     "aligns/second", "engine"]
 
 
 def sweep_wo(genome, reads, backend: str, out: Path, max_experiments: int,

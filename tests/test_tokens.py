@@ -129,6 +129,43 @@ def test_compact_tokenize_matches_two_step(cases):
     assert decoded == lanes
 
 
+def test_two_level_compaction_matches(cases):
+    """compact_tokenize(ne3c>0) — window-local pack + slice + global
+    compact — must equal the single-level path, for BOTH row layouts."""
+    lanes, comp, totals, _, tok_totals = cases
+    maxw, ne = 8, -(-comp.shape[0] // 8)
+    B = comp.shape[1]
+    dense = np.zeros((maxw, ne, B), np.uint16)
+    cnts = np.zeros((maxw, B), np.int32)
+    rng = np.random.default_rng(7)
+    sparse = np.zeros((maxw, 2 * ne, B), np.uint16)  # zero-padded slots
+    for b, runs in enumerate(lanes):
+        for g, (op, cnt) in enumerate(runs):
+            dense[g // ne, g % ne, b] = (op << 12) | cnt
+        full, rem = divmod(len(runs), ne)
+        cnts[:full, b] = ne
+        if full < maxw:
+            cnts[full, b] = rem
+        # sparse layout: same runs scattered into 2*ne rows per window,
+        # order preserved (the Pallas engines' zero-gapped row shape)
+        for w in range(maxw):
+            k = int(cnts[w, b])
+            if not k:
+                continue
+            slots = np.sort(rng.choice(2 * ne, size=k, replace=False))
+            sparse[w, slots, b] = dense[w, :k, b]
+    cap = int(totals.max())
+    ne3c = int(cnts.max())
+    for ents, sp, ne3 in ((dense, False, ne), (sparse, True, 2 * ne)):
+        toks2, run_tot, tok_tot = tok.compact_tokenize(ents, cnts, cap, sp,
+                                                       ne3c)
+        assert np.array_equal(np.asarray(run_tot), totals), (sp,)
+        assert np.array_equal(np.asarray(tok_tot), tok_totals), (sp,)
+        capT = int(tok_totals.max())
+        toksc = np.asarray(tok.compact_tokens(np.asarray(toks2), capT))
+        assert tok.decode_tokens_py(toksc, tok_tot) == lanes, (sp,)
+
+
 def test_supports_gate():
     from scrooge_tpu.config import AlignConfig
 

@@ -59,9 +59,11 @@ def main():
                                                p, pl)
         meta = np.asarray(engine_xla.batch_meta(res))
         t1 = time.perf_counter()
-        cap = _bucket_lin(int(meta[1].max()), 128)
-        toks2, _, tok_tot_dev = tokens.compact_tokenize(res.entries,
-                                                        res.counts, cap, True)
+        cap = _bucket_lin(int(meta[1].max()), 512)
+        wmax = int(meta[3].max()) if meta.shape[0] > 3 else 0
+        ne3c = 1 << max(2, (max(wmax, 1) - 1).bit_length()) if wmax else 0
+        toks2, _, tok_tot_dev = tokens.compact_tokenize(
+            res.entries, res.counts, cap, True, ne3c)
         tok_tot = np.asarray(tok_tot_dev)
         t2 = time.perf_counter()
         capT = _bucket_lin(int(tok_tot.max()), 128)
@@ -75,7 +77,7 @@ def main():
         print(f"it{it}: core+meta={t1-t0:.3f}s compact_tokenize={t2-t1:.3f}s "
               f"token_compact={t3-t2:.3f}s readback={t4-t3:.3f}s"
               f"/{host.nbytes/1e6:.1f}MB format={t6-t5:.3f}s "
-              f"cap={cap} capT={capT}")
+              f"cap={cap} capT={capT} ne3c={ne3c}")
 
 
 if __name__ == "__main__":
