@@ -304,27 +304,39 @@ def _resolve_backend(cfg: AlignConfig, batch: int, n_dev: int = 1):
     return "xla", 0, 0
 
 
-def _tokens_payload(cfg, res, stats, cap, sparse_rows, packed_out,
-                    ne3c=0):
-    """Compressed-readback postprocess: device token stream -> payload.
+# Predicted compaction caps per (cfg, maxw): the slow path must SYNC the
+# run/token totals before it can pick the static compaction widths (two
+# extra tunnel roundtrips per tile, ~50-90ms each); once a workload's caps
+# are known, the whole engine->compact->tokenize chain is dispatched
+# without host involvement and lanes that overflow a predicted cap are
+# failed to the exact retry path (rare by construction: caps only grow).
+_cap_cache: dict = {}
 
-    The compacted run stream is re-coded on device into the byte-token
-    format (ops/tokens.py) and only the tokens cross the link — measured
-    ~0.6x the u8 run bytes before padding. Host decode (C extension)
-    reproduces the exact run stream, so CIGARs are byte-identical to the
-    uncompressed path (tests/test_tokens.py, test_engine token cases)."""
+# api-level failure reason: a lane overflowed a predicted compaction cap
+# (its compacted output is truncated); disjoint from the kernel FAIL_*
+# bits so the escalation ladder never mistakes it for a tb_cap failure.
+FAIL_OVERFLOW = 16
+
+
+def _cap_key(cfg, res):
+    return (cfg, int(res.entries.shape[0]))
+
+
+def _update_cap_cache(key, totals_max, tok_max, wmax):
+    cap = _bucket_lin(totals_max + 128, 512)
+    capT = _bucket_lin(tok_max + 64, 256)
+    ne3c = 1 << max(2, (max(wmax, 1) - 1).bit_length())
+    old = _cap_cache.get(key)
+    if old:
+        cap, capT, ne3c = (max(cap, old[0]), max(capT, old[1]),
+                           max(ne3c, old[2]))
+    _cap_cache[key] = (cap, capT, ne3c)
+
+
+def _consume_tokens(toksc, tok_tot, stats, packed_out, t0):
+    """Chunked token readback + host decode -> payload (strings or
+    (flat_runs, offsets)). toksc: (B, capT) device array, lane-major."""
     from . import native
-    from .ops import tokens as tokens_mod
-
-    t0 = time.perf_counter_ns()
-    toks2, _, tok_tot_dev = tokens_mod.compact_tokenize(
-        res.entries, res.counts, cap, sparse_rows, ne3c)
-    tok_tot = np.asarray(tok_tot_dev)  # sync: picks the static token cap
-    # 256-bucket: balances readback pad (~avg 128 tokens/lane) against
-    # re-tracing the token compaction per distinct cap across tiles
-    capT = _bucket_lin(max(int(tok_tot.max(initial=0)), 1), 256)
-    toksc = tokens_mod.compact_tokens(toks2, capT)
-    stats.compact_ns += time.perf_counter_ns() - t0
 
     B = int(tok_tot.shape[0])
     n_chunks = min(8, max(1, B // 4096))
@@ -374,7 +386,8 @@ def _tokens_payload(cfg, res, stats, cap, sparse_rows, packed_out,
 
 
 def _build_alignments(cfg, res, stats, meta=None,
-                      sparse_rows=False, mesh=None, packed_out=False):
+                      sparse_rows=False, mesh=None, packed_out=False,
+                      tns=None):
     """Stringify device results and collect failures.
 
     The per-window run buffer is worst-case sized, so it is compacted on
@@ -406,25 +419,68 @@ def _build_alignments(cfg, res, stats, meta=None,
         compact_entries = compact_entries_sparse
         compact_entries_u8 = compact_entries_sparse_u8
 
+    tokens_ok = (mesh is None and tokens_mod.supports(cfg)
+                 and native.get_ext() is not None and meta is None)
+    pred = _cap_cache.get(_cap_key(cfg, res)) if tokens_ok else None
+    if pred:
+        # FAST PATH: the whole engine->compact->tokenize->slice chain is
+        # dispatched with PREDICTED static caps, then ONE fused readback
+        # returns meta + token totals — no mid-pipeline cap sync (two
+        # tunnel roundtrips, ~50-90ms each, on the slow path). Lanes that
+        # overflow a predicted cap have truncated output and are failed
+        # to the exact retry path; the cache then grows for the next tile.
+        t0 = time.perf_counter_ns()
+        cap, capT, ne3c = pred
+        toks2, _, tok_tot_dev = tokens_mod.compact_tokenize(
+            res.entries, res.counts, cap, sparse_rows, ne3c)
+        toksc = tokens_mod.compact_tokens(toks2, capT)
+        meta5 = np.asarray(tokens_mod.fused_meta(res, tok_tot_dev))
+        if tns is not None:
+            # the single sync covers engine + compaction compute; the
+            # split core/compact attribution only exists on the slow path
+            stats.core_ns += time.perf_counter_ns() - tns
+        stats.compact_ns += time.perf_counter_ns() - t0
+        eds_host, totals_host, failed = meta5[0], meta5[1], meta5[2]
+        wmax_l, tok_tot = meta5[3], meta5[4]
+        over = ((totals_host > cap) | (tok_tot > capT)
+                | (wmax_l > ne3c)).astype(np.int32)
+        failed = failed | (over * FAIL_OVERFLOW)
+        if sparse_rows:  # kernel reason bits only (mask api overflow bit)
+            stats.count_fail_reasons(failed & 15)
+        _update_cap_cache(_cap_key(cfg, res),
+                          int(totals_host.max(initial=0)),
+                          int(tok_tot.max(initial=0)),
+                          int(wmax_l.max(initial=0)))
+        payload = _consume_tokens(toksc, tok_tot, stats, packed_out, t0)
+        return eds_host, payload, failed
+
     if meta is None:
         meta = np.asarray(batch_meta(res))
+        if tns is not None:
+            stats.core_ns += time.perf_counter_ns() - tns
     eds_host, totals_host, failed = meta[0], meta[1], meta[2]
     if sparse_rows:  # only the Pallas engine's mask is a reason bitmask
         stats.count_fail_reasons(failed)
 
     if (mesh is None and tokens_mod.supports(cfg)
             and native.get_ext() is not None):
-        # coarse cap bucket: each distinct cap re-traces the (large)
-        # compaction program, and multi-tile runs see a different max per
-        # tile; the pad here costs only device-internal traffic (readback
-        # is sized by the token cap, bucketed in _tokens_payload)
+        # slow path: pick the static caps from the synced totals, then
+        # populate the cap cache so subsequent tiles take the fast path.
+        # Coarse buckets bound retraces across tiles.
+        t0 = time.perf_counter_ns()
         cap = _bucket_lin(max(int(totals_host.max(initial=0)), 1), 512)
-        # two-level compaction slice: pow2 >= the batch's max runs in any
-        # one window (batch_meta row 3), min 4 — see tokens.compact_tokenize
         wmax = int(meta[3].max(initial=0)) if meta.shape[0] > 3 else 0
         ne3c = 1 << max(2, (max(wmax, 1) - 1).bit_length()) if wmax else 0
-        payload = _tokens_payload(cfg, res, stats, cap, sparse_rows,
-                                  packed_out, ne3c)
+        toks2, _, tok_tot_dev = tokens_mod.compact_tokenize(
+            res.entries, res.counts, cap, sparse_rows, ne3c)
+        tok_tot = np.asarray(tok_tot_dev)  # sync: picks the token cap
+        capT = _bucket_lin(max(int(tok_tot.max(initial=0)), 1), 256)
+        toksc = tokens_mod.compact_tokens(toks2, capT)
+        stats.compact_ns += time.perf_counter_ns() - t0
+        _update_cap_cache(_cap_key(cfg, res),
+                          int(totals_host.max(initial=0)),
+                          int(tok_tot.max(initial=0)), wmax)
+        payload = _consume_tokens(toksc, tok_tot, stats, packed_out, t0)
         return eds_host, payload, failed
 
     cap = _bucket_lin(max(int(totals_host.max(initial=0)), 1), 128)
@@ -926,12 +982,10 @@ def align_pairs(
                 # remote-tunnel plugins): the main loop encodes+uploads tile
                 # n+1 while tile n computes and reads back (prep/H2D of n+1
                 # ∥ compute of n ∥ postprocess of n-1)
-                meta = np.asarray(engine_xla.batch_meta(res))
-                stats.core_ns += time.perf_counter_ns() - tns
                 eds, payload, failed = _build_alignments(
-                    cfg, res, stats, meta,
+                    cfg, res, stats,
                     sparse_rows=(engine == "pallas"), mesh=mesh,
-                    packed_out=return_packed)
+                    packed_out=return_packed, tns=tns)
                 if return_packed:
                     packed_parts.append((payload[0], payload[1], idxs, eds,
                                          failed))
@@ -1236,12 +1290,10 @@ def align_reads(
                 # rides the link during device time. With >1 tile in flight
                 # core_ns can overlap upload_ns; the single-tile bench keeps
                 # a clean kernel split.
-                meta = np.asarray(engine_xla.batch_meta(res))
-                stats.core_ns += time.perf_counter_ns() - tns
                 eds, payload, failed = _build_alignments(
-                    cfg, res, stats, meta,
+                    cfg, res, stats,
                     sparse_rows=(engine == "pallas"), mesh=mesh,
-                    packed_out=return_packed)
+                    packed_out=return_packed, tns=tns)
                 if return_packed:
                     packed_parts.append((payload[0], payload[1], idxs, eds,
                                          failed))

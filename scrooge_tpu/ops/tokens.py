@@ -118,6 +118,17 @@ def compact_tokenize(entries, counts, cap: int, sparse: bool,
     return toks, totals, tok_totals
 
 
+@jax.jit
+def fused_meta(res, tok_totals):
+    """batch_meta rows + token totals as ONE (5, B) int32 readback: the
+    fast path learns edit distances, run totals, failure mask, per-lane
+    max window count, AND token totals in a single tunnel roundtrip."""
+    from .engine_xla import batch_meta
+
+    return jnp.concatenate(
+        [batch_meta(res), tok_totals[None].astype(jnp.int32)], axis=0)
+
+
 @functools.partial(jax.jit, static_argnums=(1,))
 def compact_tokens(toks, capT: int):
     """Log-shift-compact the token candidates and return them LANE-MAJOR
