@@ -154,26 +154,25 @@ def sweep_rows(seq_len: int = 10_000, frequency: float = 1e9):
 #
 # Per-stage cost constants CALIBRATED against on-device measurements at
 # the headline shape (32768 x 10 kbp reads, 95% accuracy, W=64 K=64 O=33,
-# sk=16 kw=8, TPU v5e, 2026-08-19):
+# sk=16 kw=8, TPU v5e, 2026-08-20 — the ROUND-4 engine: per-window slab
+# re-base + pair-packed entry output):
 #   - section costs from the doubled-section ablation, profile/ablation.csv
-#     (pm 0.0103s, fill 0.058s, tb 0.0236s per batch)
-#   - slab-glue + entries-accumulation residuals from the stage probe,
-#     tools/probe_scan.py (scan 0.1386s, scan_noents 0.1219s)
-#   - per-call dispatch/readback from worker-measured core (0.184s) minus
-#     the probe's back-to-back scan time.
-# The stale pre-calibration model priced a per-window gather that the slab
-# engine no longer performs (the one remaining gather — per-pair segment
-# extraction — is contiguous-sliced and fully overlaps the scan at the
-# headline shape, tools/probe_scan.py full==scan).
+#     (pm ~0 [below ablation noise since the re-base], fill 0.0447s,
+#     tb 0.0277s per batch)
+#   - entries-accumulation residual from the stage probe,
+#     tools/probe_scan.py (scan 0.1460s, scan_noents 0.1149s)
+#   - glue/dispatch from the probe's full time (0.1460s) minus sections.
+# The bench-level "core" additionally pays one tunnel sync per tile
+# (~40-90ms on this rig) — pipeline accounting outside this model.
 # Constants are PER LANE (vector-op cost scales with the lanes a tile
 # holds: an (8,128) tile op costs half a (16,128) one), calibrated at the
 # sk=16 headline (2048 lanes/tile).
-TPU_FILL_S = 17.4e-9 / 2048   # per fill step x bitvector word x lane
-TPU_PM_S = 29.7e-9 / 2048     # per pattern char x lane (masks + unpack)
-TPU_TB_S = 18.6e-9 / 2048     # per tb level x stored column x word x lane
-TPU_GLUE_S = 0.81e-9          # per slab-io word x lane (normalize + slice)
-TPU_ENTS_BW = 87e9            # entries-accumulation effective bytes/s
-TPU_DISPATCH_S = 0.046        # per align_batch_mapped call (dispatch+readback)
+TPU_FILL_S = 13.4e-9 / 2048   # per fill step x bitvector word x lane
+TPU_PM_S = 5.8e-9 / 2048      # per pattern char x lane (masks + unpack)
+TPU_TB_S = 21.9e-9 / 2048     # per tb level x stored column x word x lane
+TPU_GLUE_S = 0.55e-9          # per slab-io word x lane (normalize + slice)
+TPU_ENTS_BW = 48e9            # entries-accumulation effective bytes/s
+TPU_DISPATCH_S = 0.020        # per align_batch_mapped call (dispatch)
 
 
 def expected_rows(W: int, O: int, error_rate: float, batch: int) -> float:

@@ -44,9 +44,10 @@ def test_sweep_writes_reference_schema_csvs(sweep_dir):
     # throughput axis (sweep.py module docstring); batch records the
     # operating point of every row
     assert rows[0] == ["W", "O", "early termination", "batch",
-                       "aligns/second"]
+                       "aligns/second", "engine"]
     assert len(rows) > 1
-    assert float(rows[1][-1]) > 0
+    assert float(rows[1][4]) > 0
+    assert rows[1][5] in ("xla", "pallas")
 
 
 def test_accuracy_sweep_and_plots(tmp_path):
