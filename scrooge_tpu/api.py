@@ -616,6 +616,19 @@ def _assemble_packed_parts(n: int, parts, results) -> PackedAlignments:
             retry_runs[i] = runs
             lens[i] = len(runs)
             eds_out[i] = r.edit_distance
+    if not retry_runs and len(parts) == 1:
+        # single tile, nothing failed, lanes already in pair order (the
+        # equal-length headline shape: the stable length sort is the
+        # identity) -> the tile payload IS the answer; return it zero-copy
+        # instead of paying the ~0.2s scatter/memcpy pass
+        flat, offs, idxs, eds, failed = parts[0]
+        k = len(idxs)
+        if (k == n and offs.shape[0] == n + 1
+                and not np.asarray(failed[:k]).any()
+                and np.array_equal(np.asarray(idxs), np.arange(n))):
+            return PackedAlignments(
+                np.asarray(eds[:n], np.int32), offs,
+                flat[: int(offs[-1])] if len(flat) > int(offs[-1]) else flat)
     sel = []  # (flat, src_offs, dst_idx, src_lens) per tile
     for flat, offs, idxs, eds, failed in parts:
         k = len(idxs)
@@ -989,14 +1002,16 @@ def align_pairs(
                 if return_packed:
                     packed_parts.append((payload[0], payload[1], idxs, eds,
                                          failed))
-                for lane, i in enumerate(idxs):
-                    if failed[lane]:
-                        retry_items.append((i, encode_np(texts[i]),
-                                            encode_np(queries[i]),
-                                            int(failed[lane])))
-                    elif not return_packed:
-                        results[i] = Alignment(cigar=payload[lane],
-                                               edit_distance=int(eds[lane]))
+                if not return_packed or np.asarray(failed[:len(idxs)]).any():
+                    for lane, i in enumerate(idxs):
+                        if failed[lane]:
+                            retry_items.append((i, encode_np(texts[i]),
+                                                encode_np(queries[i]),
+                                                int(failed[lane])))
+                        elif not return_packed:
+                            results[i] = Alignment(
+                                cigar=payload[lane],
+                                edit_distance=int(eds[lane]))
 
             if pending is not None:
                 pending.result()
@@ -1297,17 +1312,19 @@ def align_reads(
                 if return_packed:
                     packed_parts.append((payload[0], payload[1], idxs, eds,
                                          failed))
-                for lane, i in enumerate(idxs):
-                    if failed[lane]:
-                        start = pairs[i][0]
-                        end = min(glen, start + int(tlen[lane]))
-                        retry_items.append(
-                            (i, encode_np(reference.content[start:end]),
-                             encode_np(pairs[i][1].content),
-                             int(failed[lane])))
-                    elif not return_packed:
-                        results[i] = Alignment(cigar=payload[lane],
-                                               edit_distance=int(eds[lane]))
+                if not return_packed or np.asarray(failed[:len(idxs)]).any():
+                    for lane, i in enumerate(idxs):
+                        if failed[lane]:
+                            start = pairs[i][0]
+                            end = min(glen, start + int(tlen[lane]))
+                            retry_items.append(
+                                (i, encode_np(reference.content[start:end]),
+                                 encode_np(pairs[i][1].content),
+                                 int(failed[lane])))
+                        elif not return_packed:
+                            results[i] = Alignment(
+                                cigar=payload[lane],
+                                edit_distance=int(eds[lane]))
 
             # overlap host post-processing of this tile with the next tile's
             # device work (readback + C++ formatting release the GIL)

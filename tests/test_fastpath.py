@@ -50,3 +50,36 @@ def test_fast_path_truncating_caps_still_exact():
     assert stats.retried_pairs > 0  # overflow lanes actually retried
     for a, o in zip(got, oracle):
         assert (a.edit_distance, a.cigar) == (o.edit_distance, o.cigar)
+
+
+def test_assemble_packed_identity_fast_path():
+    """Single tile, no failures, identity lane order -> the zero-copy fast
+    path must produce exactly what the general scatter path produces."""
+    import numpy as np
+
+    from scrooge_tpu.api import _assemble_packed_parts
+
+    rng = np.random.default_rng(5)
+    n = 257
+    counts = rng.integers(1, 40, n).astype(np.int64)
+    offs = np.zeros(n + 1, np.int64)
+    np.cumsum(counts, out=offs[1:])
+    flat = rng.integers(0, 4 << 12, int(offs[-1]), dtype=np.uint16)
+    idxs = np.arange(n)
+    eds = rng.integers(0, 64, n).astype(np.int32)
+    parts = [(flat, offs, idxs, eds, np.zeros(n, np.int32))]
+    fast = _assemble_packed_parts(n, parts, [None] * n)
+    # force the general path by shuffling the lane->pair map
+    perm = rng.permutation(n)
+    parts_g = [(flat, offs, perm, eds, np.zeros(n, np.int32))]
+    gen = _assemble_packed_parts(n, parts_g, [None] * n)
+    assert np.array_equal(fast.edit_distances, eds)
+    assert np.array_equal(fast.run_offsets, offs)
+    assert np.array_equal(fast.runs, flat)
+    # cross-check: pair i of the general result == lane at perm==i
+    for i in range(0, n, 17):
+        lane = int(np.nonzero(perm == i)[0][0])
+        a = gen.runs[gen.run_offsets[i]:gen.run_offsets[i + 1]]
+        b = flat[offs[lane]:offs[lane + 1]]
+        assert np.array_equal(a, b)
+        assert gen.edit_distances[i] == eds[lane]
