@@ -44,6 +44,8 @@ figures:
 	$(PLOT) representative --csv=profile/simulated_32768_10000_device_sweep_WO.csv --baselines_csv=profile/simulated_512_2000_baselines_cpu.csv --out=profile/representative.png
 	$(PLOT) roofline --csv=profile/simulated_32768_10000_device_sweep_WO.csv --out=profile/roofline_v5e.png
 	$(PLOT) asic --csv=profile/asic_sweep.csv --out=profile/asic_area_power.png
+	$(PLOT) tbcap --csv=profile/simulated_16384_10000_0_0.85_tbcap.csv --out=profile/tbcap_cliff.png
+	-$(PLOT) pipeline --csv=profile/pipeline_breakdown.csv --out=profile/pipeline_breakdown.png
 
 clean:
 	rm -rf .jax_cache profile scrooge_tpu/native/*.so

@@ -194,6 +194,42 @@ def main():
         out["vs_baseline"] = round(aligns_per_s / BASELINE_ALIGNS_PER_S, 4)
     print(json.dumps(out))
 
+    # persist the stage breakdown for the pipeline figure
+    # (profiling/plots.py pipeline family); best-effort side artifact —
+    # the stdout JSON line above is the bench contract
+    try:
+        import csv as _csv
+
+        pdir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "profile")
+        if os.path.isdir(pdir):
+            with open(os.path.join(pdir, "pipeline_breakdown.csv"), "w",
+                      newline="") as f:
+                w = _csv.writer(f)
+                w.writerow(["mode", "wall_s", "prep_s", "upload_s",
+                            "upload_mb", "core_s", "compact_s",
+                            "readback_s", "readback_mb", "format_s",
+                            "pairs", "read_len", "h2d_mb_s", "d2h_mb_s"])
+                for mode, st, wl in (("strings", stats, wall_s),
+                                     ("packed", pstats, packed_wall_s)):
+                    w.writerow([
+                        mode, round(wl, 3),
+                        round(st.prep_ns / 1e9, 3),
+                        round(st.upload_ns / 1e9, 3),
+                        round(st.upload_bytes / 1e6, 1),
+                        round(st.core_ns / 1e9, 3),
+                        round(st.compact_ns / 1e9, 3),
+                        round(st.readback_ns / 1e9, 3),
+                        round(st.readback_bytes / 1e6, 1),
+                        round(st.format_ns / 1e9, 3),
+                        st.num_pairs, read_len,
+                        round(st.upload_bytes / max(st.upload_ns, 1) * 1e3,
+                              1),
+                        round(st.readback_bytes / max(st.readback_ns, 1)
+                              * 1e3, 1)])
+    except Exception as e:  # pragma: no cover - diagnostics only
+        print(f"# pipeline_breakdown.csv not written: {e}", file=sys.stderr)
+
 
 if __name__ == "__main__":
     main()

@@ -210,18 +210,22 @@ def _upload_rows_chunked(stats, n_rows: int, build_chunk,
         stats.upload_bytes += x.nbytes
         return d
 
+    # >1 stream keeps two transfers in flight on the tunnel (the d2h side
+    # measures ~1.4x aggregate with two concurrent streams); chunks stay
+    # in submission order so the device concatenation is unaffected
+    streams = int(os.environ.get("SCROOGE_UPLOAD_STREAMS", "1"))
     devs = []
-    with ThreadPoolExecutor(max_workers=1) as up:
-        pending = None
+    with ThreadPoolExecutor(max_workers=max(1, streams)) as up:
+        futs = []
         for c0 in range(0, n_rows, chunk_rows):
             tp = time.perf_counter_ns()
             chunk = build_chunk(c0, min(c0 + chunk_rows, n_rows))
             stats.prep_ns += time.perf_counter_ns() - tp
-            if pending is not None:
-                devs.append(pending.result())
-            pending = up.submit(put, chunk)
-        if pending is not None:
-            devs.append(pending.result())
+            while len(futs) > streams:  # bounded look-ahead
+                devs.append(futs.pop(0).result())
+            futs.append(up.submit(put, chunk))
+        for f in futs:
+            devs.append(f.result())
     out = devs[0] if len(devs) == 1 else jnp.concatenate(devs, axis=0)
     np.asarray(jnp.ravel(out)[:1])  # force once (see module doc)
     stats.upload_ns += time.perf_counter_ns() - t0

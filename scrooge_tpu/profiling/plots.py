@@ -26,6 +26,11 @@ framework's CSV schemas (profiling/sweep.py, profiling/model.py):
   kernel      — kernel-knob sweep, aligns/s per (kw windows/slab,
                 sk sublane tile) point (the GPU threadblocks/SM +
                 DP-memory knob family, profile.py:177-248)
+  tbcap       — retried-pair fraction + end-to-end throughput vs the
+                traceback depth cap (escalation-ladder evidence)
+  pipeline    — stacked end-to-end stage breakdown per output mode from
+                bench.py's profile/pipeline_breakdown.csv, annotated
+                with the measured tunnel link rates
 
 All figures are optional conveniences: matplotlib is imported lazily so
 the core library never depends on it.
@@ -391,12 +396,91 @@ def plot_kernel(csv_path: str, out: str):
     print(f"wrote {out}")
 
 
+def plot_tbcap(csv_path: str, out: str):
+    """tb_cap retry-cliff family: fraction of pairs falling to the retry
+    path and end-to-end throughput vs the traceback depth cap (the
+    escalation-ladder evidence; sweep target ``tbcap``)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    rows = _read_csv(csv_path)
+    caps = [int(r["tb_cap"]) for r in rows]
+    pairs = [int(r["pairs"]) for r in rows]
+    retr = [100.0 * int(r["retried_pairs"]) / max(p, 1)
+            for r, p in zip(rows, pairs)]
+    e2e = [float(r["end_to_end_aligns/second"]) for r in rows]
+
+    fig, ax = plt.subplots(figsize=(6, 4))
+    ax.plot(caps, retr, marker="o", color="tab:red", label="retried pairs")
+    ax.set_xlabel("tb_cap (traceback depth cap)")
+    ax.set_ylabel("retried pairs (%)", color="tab:red")
+    ax.tick_params(axis="y", labelcolor="tab:red")
+    ax.set_ylim(bottom=0)
+    ax2 = ax.twinx()
+    ax2.plot(caps, e2e, marker="s", color="tab:blue", label="end-to-end")
+    ax2.set_ylabel("end-to-end aligns/second", color="tab:blue")
+    ax2.tick_params(axis="y", labelcolor="tab:blue")
+    ax.set_title("tb_cap retry cliff (85%-accuracy stress)")
+    ax.grid(alpha=0.3)
+    fig.tight_layout()
+    fig.savefig(out, dpi=150)
+    print(f"wrote {out}")
+
+
+def plot_pipeline(csv_path: str, out: str):
+    """End-to-end stage breakdown family: one stacked horizontal bar per
+    output mode (strings / packed) from bench.py's
+    profile/pipeline_breakdown.csv, annotated with the measured tunnel
+    rates — the e2e-is-transport-bound evidence."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    rows = _read_csv(csv_path)
+    stages = [("prep_s", "prep (host)"), ("upload_s", "upload h2d"),
+              ("core_s", "device core"), ("compact_s", "compact"),
+              ("readback_s", "readback d2h"), ("format_s", "format")]
+    colors = ["tab:gray", "tab:orange", "tab:green", "tab:olive",
+              "tab:blue", "tab:purple"]
+
+    fig, ax = plt.subplots(figsize=(8, 2.2 + 0.8 * len(rows)))
+    for yi, r in enumerate(rows):
+        left = 0.0
+        for (col, lab), c in zip(stages, colors):
+            v = float(r[col])
+            ax.barh(yi, v, left=left, color=c,
+                    label=lab if yi == 0 else None)
+            left += v
+        wall = float(r["wall_s"])
+        ax.plot([wall, wall], [yi - 0.4, yi + 0.4], color="k", lw=1.5)
+        ax.annotate(f"wall {wall:.2f}s "
+                    f"({int(r['pairs']) / wall:,.0f} aligns/s)",
+                    (wall, yi), textcoords="offset points",
+                    xytext=(4, -4), fontsize=8)
+    ax.set_yticks(range(len(rows)))
+    ax.set_yticklabels([r["mode"] for r in rows])
+    r0 = rows[0]
+    ax.set_xlabel(
+        f"seconds ({r0['pairs']} pairs x {r0['read_len']} bp; measured "
+        f"link h2d {r0['h2d_mb_s']} MB/s, d2h {r0['d2h_mb_s']} MB/s; "
+        f"stage sum > wall where stages overlap)")
+    ax.set_title("End-to-end pipeline breakdown")
+    ax.legend(loc="lower right", fontsize=8, ncol=3)
+    ax.grid(alpha=0.3, axis="x")
+    fig.tight_layout()
+    fig.savefig(out, dpi=150)
+    print(f"wrote {out}")
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     p.add_argument("kind",
                    choices=["throughput", "accuracy", "roofline", "asic",
                             "groundtruth", "baselines", "representative",
-                            "scaling", "kernel"])
+                            "scaling", "kernel", "tbcap", "pipeline"])
     p.add_argument("--csv", required=True,
                    help="input CSV (device CSV for accuracy)")
     p.add_argument("--exact_csv", help="exact-baseline CSV (accuracy only)")
@@ -426,6 +510,10 @@ def main(argv=None) -> int:
         plot_scaling(args.csv, args.out)
     elif args.kind == "kernel":
         plot_kernel(args.csv, args.out)
+    elif args.kind == "tbcap":
+        plot_tbcap(args.csv, args.out)
+    elif args.kind == "pipeline":
+        plot_pipeline(args.csv, args.out)
     else:
         plot_asic(args.csv, args.out)
     return 0

@@ -38,6 +38,7 @@ from __future__ import annotations
 import argparse
 import csv
 import json
+import os
 import sys
 import time
 
@@ -299,6 +300,19 @@ def main(argv=None) -> int:
         return run_distributed(args.distributed, args.per_process,
                                args.read_len, args.out)
     if args.device_time:
+        # this proxy is DEFINED on the virtual CPU mesh (see
+        # measure_device_time doc); force it before any jax import — the
+        # axon TPU plugin activates off PALLAS_AXON_POOL_IPS regardless
+        # of JAX_PLATFORMS (same trap tests/conftest.py guards against),
+        # which once turned this step into a 1-device real-TPU run
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        os.environ["PALLAS_AXON_POOL_IPS"] = ""
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            flags = (flags + " --xla_force_host_platform_device_count=8")
+        if "xla_llvm_disable_expensive_passes" not in flags:
+            flags = (flags + " --xla_llvm_disable_expensive_passes=true")
+        os.environ["XLA_FLAGS"] = flags.strip()
         rows = measure_device_time(args.engine, args.per_device,
                                    args.read_len, args.reps)
     else:
