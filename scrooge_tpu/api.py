@@ -688,30 +688,49 @@ def _retry_pyref(cfg, text_codes: np.ndarray, pattern_codes: np.ndarray,
 
 
 def _escalate_tb_cap(cfg, items, stats, results):
-    """Pallas-engine tb_cap escalation ladder.
+    """Pallas-engine escalation ladder for resolvable failures.
 
-    Lanes that failed ONLY because a window's edit distance exceeded
-    tb_cap (FAIL_TB without FAIL_DRIFT) re-run on the SAME Pallas engine
-    with the cap doubled — still VMEM-resident and ~10^3x faster than the
-    full-K XLA fallback — until they succeed or the cap reaches K (where
-    the Pallas engine searches the full K, so the ladder terminates with
-    exact full-K coverage at kernel speed). Drift/stall failures skip the
-    ladder (a higher cap cannot fix slab geometry). Returns the items
-    still unresolved, reasons updated from the last rung."""
+    Lanes that failed for a reason a re-parameterized kernel can fix
+    re-run on the SAME Pallas engine — still VMEM-resident and ~10^3x
+    faster than the full-K XLA fallback — with the limiting knob doubled
+    per rung:
+
+      FAIL_TB       d-search cap doubled (up to K: full-K coverage at
+                    kernel speed, so the ladder terminates exactly)
+      FAIL_DRIFT    slab drift margin doubled (up to _MARGIN_MAX words;
+                    high-error reads random-walk their text cursor past
+                    the default 128-char margin — the dominant failure
+                    at ONT-class accuracy: 321/16384 drift vs 4 tb at
+                    0.85, profile/simulated_16384_10000_0_0.85_tbcap.csv)
+      FAIL_OVERFLOW a predicted compaction cap truncated the output; the
+                    re-run syncs fresh caps (resolved in one rung)
+
+    Stall/incomplete failures skip the ladder (no kernel parameter fixes
+    them). Returns the items still unresolved, reasons updated from the
+    last rung."""
     import dataclasses
 
     from .ops import engine_pallas, engine_xla
 
+    resolvable = (engine_pallas.FAIL_TB | engine_pallas.FAIL_DRIFT
+                  | FAIL_OVERFLOW)
+    fatal = engine_pallas.FAIL_STALL | engine_pallas.FAIL_INCOMPLETE
+
+    def eligible(reason):
+        return (reason & resolvable) and not (reason & fatal)
+
     esc, rest = [], []
     for it in items:
-        tb_only = (it[3] & engine_pallas.FAIL_TB) and not (
-            it[3] & engine_pallas.FAIL_DRIFT)
-        (esc if tb_only else rest).append(it)
+        (esc if eligible(it[3]) else rest).append(it)
 
+    _MARGIN_MAX = 32
     cap = cfg.tb_cap
-    while esc and cap < cfg.K:
+    margin = cfg.margin_words
+    while esc and (cap < cfg.K or margin < _MARGIN_MAX):
         cap = min(2 * cap, cfg.K)
-        cfg2 = dataclasses.replace(cfg, tb_cap_override=cap)
+        margin = min(2 * margin, _MARGIN_MAX)
+        cfg2 = dataclasses.replace(cfg, tb_cap_override=cap,
+                                   margin_override=margin)
         chunk = max(cfg.batch_tile, 128)
         still = []
         for c0 in range(0, len(esc), chunk):
@@ -746,12 +765,8 @@ def _escalate_tb_cap(cfg, items, stats, results):
                     stats.escalated_pairs += 1
                     results[ri] = Alignment(cigar=cigars[lane],
                                             edit_distance=int(eds[lane]))
-        esc = [it for it in still
-               if (it[3] & engine_pallas.FAIL_TB)
-               and not (it[3] & engine_pallas.FAIL_DRIFT)]
-        rest += [it for it in still
-                 if not ((it[3] & engine_pallas.FAIL_TB)
-                         and not (it[3] & engine_pallas.FAIL_DRIFT))]
+        esc = [it for it in still if eligible(it[3])]
+        rest += [it for it in still if not eligible(it[3])]
     return rest + esc
 
 

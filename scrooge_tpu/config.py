@@ -57,12 +57,21 @@ class AlignConfig:
     # trades VMEM + fill iterations for fewer retry-cliff lanes on
     # high-error (ONT-like) inputs.
     tb_cap_override: int = 0
-    # tb_cap escalation: lanes that fail ONLY because a window's edit
-    # distance exceeded tb_cap re-run on the Pallas engine with the cap
-    # doubled (up to K) before falling to the ~10^3x-slower full-K XLA
-    # retry. Output-invariant (the ladder ends at full-K coverage either
-    # way); purely a retry-path performance policy.
+    # retry escalation: lanes that fail for a Pallas-resolvable reason
+    # (tb_cap exceeded, slab drift past the margin, compaction-cap
+    # overflow) re-run on the Pallas engine with the cap/margin doubled
+    # before falling to the ~10^3x-slower full-K XLA retry.
+    # Output-invariant (the ladder ends at full coverage either way);
+    # purely a retry-path performance policy.
     retry_escalation: bool = True
+    # Pallas-engine slab drift margin override in uint32 words (see
+    # engine_pallas.SLAB_MARGIN_WORDS); 0 = default (8 words = 128
+    # chars). Lanes whose text/pattern cursor drifts further than this
+    # from the batch's common slab base fail with FAIL_DRIFT; the
+    # escalation ladder re-runs them at doubled margins. Raising it
+    # costs slab IO words + one extra select-tree level in the kernel's
+    # normalize pass, nothing else.
+    margin_override: int = 0
 
     def __post_init__(self):
         if self.W < 2:
@@ -75,6 +84,8 @@ class AlignConfig:
             raise ValueError("batch_tile must be a multiple of 128 (TPU lanes)")
         if not 0 <= self.tb_cap_override <= self.K:
             raise ValueError("tb_cap_override must be in [0, K]")
+        if not 0 <= self.margin_override <= 64:
+            raise ValueError("margin_override must be in [0, 64]")
 
     # ---- derived quantities (names follow genasm_cpu.cpp:44-84) ----
 
@@ -108,6 +119,13 @@ class AlignConfig:
         if self.tb_cap_override:
             return min(self.tb_cap_override, self.K)
         return min(self.K, 32)
+
+    @property
+    def margin_words(self) -> int:
+        """Pallas-engine slab drift margin in uint32 words (default 8 =
+        128 chars; see margin_override and
+        engine_pallas.SLAB_MARGIN_WORDS)."""
+        return self.margin_override or 8
 
     @property
     def num_words(self) -> int:

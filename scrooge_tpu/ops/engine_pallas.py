@@ -121,8 +121,9 @@ MAX_SLAB_WORDS = 24
 
 def slab_io_words(cfg: AlignConfig, kw: int) -> int:
     """Words shipped to the kernel per lane per slab (span + drift
-    margin)."""
-    return slab_words(cfg, kw) + SLAB_MARGIN_WORDS
+    margin; the margin defaults to SLAB_MARGIN_WORDS and is raised per
+    config by the escalation ladder, cfg.margin_override)."""
+    return slab_words(cfg, kw) + cfg.margin_words
 
 
 def tb_rows(cfg: AlignConfig) -> int:
@@ -391,12 +392,13 @@ def _multi_window_kernel(cfg: AlignConfig, kw: int,
     # Normalize each lane's slab once: shift out the drift-margin word
     # offset (one M+1-way select per kept word), so every later per-char
     # unpack chains over the slab span only, not span+margin.
-    NWDC = NWD - SLAB_MARGIN_WORDS
+    MARG = cfg.margin_words
+    NWDC = NWD - MARG
 
     def _normalize(words_ref, off_raw):
         raw = [words_ref[wdi] for wdi in range(NWD)]
         woff = off_raw >> 5
-        out = [_select_word(woff, raw[k : k + SLAB_MARGIN_WORDS + 1])
+        out = [_select_word(woff, raw[k : k + MARG + 1])
                for k in range(NWDC)]
         return out, off_raw & 31
 
@@ -935,7 +937,7 @@ def _align_scan(cfg: AlignConfig, sk: int, kw: int, max_windows: int,
     tlen = text_len.astype(jnp.int32).reshape(lane)
     plen = pattern_len.astype(jnp.int32).reshape(lane)
     NWD2 = slab_io_words(cfg, kw)
-    M = SLAB_MARGIN_WORDS
+    M = cfg.margin_words
     NE3 = tb_rows(cfg)
     n_steps = -(-max_windows // kw)
     tphase = tphase.astype(jnp.int32).reshape(B)

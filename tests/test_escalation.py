@@ -71,3 +71,36 @@ def test_escalation_packed(noisy):
     for i, o in enumerate(oracle):
         assert int(packed.edit_distances[i]) == o.edit_distance
         assert packed.cigar(i) == o.cigar
+
+
+def _drifting_pairs(n=8, tlen=420, seed=11):
+    """Half the lanes align cleanly (diagonal paths), half are
+    deletion-rich (their pattern cursor falls ~6 chars behind per
+    window): the pattern-slab spread between the two groups grows past a
+    small drift margin within a few windows."""
+    rng = np.random.default_rng(seed)
+    bases = "ACGT"
+    texts, queries = [], []
+    for i in range(n):
+        t = "".join(rng.choice(list(bases)) for _ in range(tlen))
+        if i % 2 == 0:
+            q = t[: tlen - 40]
+        else:
+            keep = rng.random(tlen - 40) >= 0.2  # 20% deletions
+            q = "".join(c for c, k in zip(t[: tlen - 40], keep) if k)
+        texts.append(t)
+        queries.append(q)
+    return texts, queries
+
+
+def test_escalation_resolves_drift_failures():
+    texts, queries = _drifting_pairs()
+    oracle = api.align_pairs(texts, queries,
+                             AlignConfig(W=64, K=64, O=33, backend="pyref"))
+    cfg = AlignConfig(W=64, K=64, O=33, backend="pallas", batch_tile=128,
+                      margin_override=1)  # 16-char margin: forces drift
+    alns, stats = api.align_pairs(texts, queries, cfg, return_stats=True)
+    assert stats.fail_drift_pairs > 0  # the tiny margin actually tripped
+    assert stats.escalated_pairs > 0   # and the ladder resolved on Pallas
+    for a, o in zip(alns, oracle):
+        assert (a.edit_distance, a.cigar) == (o.edit_distance, o.cigar)
