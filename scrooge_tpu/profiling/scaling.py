@@ -300,19 +300,29 @@ def main(argv=None) -> int:
         return run_distributed(args.distributed, args.per_process,
                                args.read_len, args.out)
     if args.device_time:
-        # this proxy is DEFINED on the virtual CPU mesh (see
-        # measure_device_time doc); force it before any jax import — the
-        # axon TPU plugin activates off PALLAS_AXON_POOL_IPS regardless
-        # of JAX_PLATFORMS (same trap tests/conftest.py guards against),
-        # which once turned this step into a 1-device real-TPU run
-        os.environ["JAX_PLATFORMS"] = "cpu"
-        os.environ["PALLAS_AXON_POOL_IPS"] = ""
-        flags = os.environ.get("XLA_FLAGS", "")
-        if "xla_force_host_platform_device_count" not in flags:
-            flags = (flags + " --xla_force_host_platform_device_count=8")
-        if "xla_llvm_disable_expensive_passes" not in flags:
-            flags = (flags + " --xla_llvm_disable_expensive_passes=true")
-        os.environ["XLA_FLAGS"] = flags.strip()
+        if os.environ.get("_SCROOGE_DT_CHILD") != "1":
+            # This proxy is DEFINED on the virtual CPU mesh (see
+            # measure_device_time doc). jax is already imported by the
+            # time main() runs (the package pulls it in), so JAX_PLATFORMS
+            # from os.environ is baked and the axon TPU plugin activates
+            # off PALLAS_AXON_POOL_IPS regardless (the trap
+            # tests/conftest.py documents) — it silently turned this step
+            # into a 1-device real-TPU run twice. Re-exec a child with
+            # the env forced BEFORE any import.
+            import subprocess
+
+            env = dict(os.environ, JAX_PLATFORMS="cpu",
+                       PALLAS_AXON_POOL_IPS="", _SCROOGE_DT_CHILD="1")
+            flags = env.get("XLA_FLAGS", "")
+            if "xla_force_host_platform_device_count" not in flags:
+                flags += " --xla_force_host_platform_device_count=8"
+            if "xla_llvm_disable_expensive_passes" not in flags:
+                flags += " --xla_llvm_disable_expensive_passes=true"
+            env["XLA_FLAGS"] = flags.strip()
+            argv_out = sys.argv[1:] if argv is None else list(argv)
+            return subprocess.call(
+                [sys.executable, "-m", "scrooge_tpu.profiling.scaling",
+                 *argv_out], env=env)
         rows = measure_device_time(args.engine, args.per_device,
                                    args.read_len, args.reps)
     else:
