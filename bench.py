@@ -101,21 +101,27 @@ def _staged_pass(staged, cfg):
 
     maxw, sk, kw, dev, n = staged
 
-    def run_full(packed):
-        stats = api_mod.AlignStats(num_pairs=n)
+    def run_full(packed, stats=None):
+        stats = stats or api_mod.AlignStats(num_pairs=n)
         tns = time.perf_counter_ns()
         res = engine_pallas.align_batch_mapped(cfg, maxw, sk, kw, *dev)
         eds, payload, failed = api_mod._build_alignments(
             cfg, res, stats, sparse_rows=True, packed_out=packed, tns=tns)
         return payload
 
+    import gc
+
     rates = []
     for packed in (False, True):
+        gc.collect()
         run_full(packed)  # warm: compile + cap-cache fill
+        stats = api_mod.AlignStats(num_pairs=n)
         t0 = time.perf_counter()
-        payload = run_full(packed)
+        payload = run_full(packed, stats)
         rates.append(n / (time.perf_counter() - t0))
         assert len(payload) == n or len(payload) == 2  # strings | (flat, offs)
+        print(f"# staged[{'packed' if packed else 'strings'}]: "
+              f"{stats.breakdown()}", file=sys.stderr)
     return rates[0], rates[1]
 
 
