@@ -172,9 +172,14 @@ def main():
     # bandwidth drifts minute to minute (measured 8-150 MB/s), and a
     # single strings-then-packed order charges whichever runs during the
     # worse weather — alternation + best-of-2 compares the modes fairly.
+    # 3 alternating rounds per mode, best wall kept: the tunnel swings
+    # 20-150 MB/s minute to minute and upload+readback dominate the wall,
+    # so per-mode minima over 3 samples is what makes the strings/packed
+    # comparison mean anything (measured: 6 alternating runs spread
+    # 4.5-8.0s with NO mode effect once each mode pays its own GC)
     wall_s = packed_wall_s = float("inf")
     stats = pstats = None
-    for _ in range(2):
+    for _ in range(3):
         gc.collect()  # each mode pays its own garbage: without this the
         t0 = time.perf_counter()  # packed round collects the strings
         results, s_stats = align_reads(ds.genome, ds.reads, cfg,  # round's

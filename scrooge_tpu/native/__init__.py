@@ -315,12 +315,19 @@ def format_tokens(tokens: np.ndarray, totals: np.ndarray
     return ext.format_tokens(tokens.ctypes.data, capT, B, totals.ctypes.data)
 
 
-def tokens_to_runs(tokens: np.ndarray, totals: np.ndarray):
+def tokens_to_runs(tokens: np.ndarray, totals: np.ndarray,
+                   out: np.ndarray = None, counts: np.ndarray = None):
     """CIGAR token stream (B, capT) LANE-MAJOR -> (flat uint16 runs,
     per-lane run counts).
 
     Lane b's runs are contiguous at [cumsum(counts)[b-1], cumsum(counts)[b])
-    — the return_packed layout. None if the extension is unavailable."""
+    — the return_packed layout. None if the extension is unavailable.
+
+    ``out``/``counts``: optional preallocated destinations (out must have
+    room for 2*sum(min(totals, capT)) runs, counts for B lanes) — the
+    chunked consumer decodes straight into one batch-wide buffer at a
+    running offset instead of allocating ~16 MB per chunk and
+    concatenating at the end."""
     ext = get_ext()
     if ext is None:
         return None
@@ -329,11 +336,19 @@ def tokens_to_runs(tokens: np.ndarray, totals: np.ndarray):
     B, capT = tokens.shape
     # each token decodes to at most 2 runs
     bound = 2 * int(np.minimum(totals, capT).sum())
-    out = np.empty(bound, np.uint16)
-    counts = np.empty(B, np.int64)
+    if out is None:
+        out = np.empty(bound, np.uint16)
+    else:
+        assert out.flags.c_contiguous and out.dtype == np.uint16
+        assert len(out) >= bound
+    if counts is None:
+        counts = np.empty(B, np.int64)
+    else:
+        assert counts.flags.c_contiguous and counts.dtype == np.int64
+        assert len(counts) >= B
     n = ext.tokens_to_runs(tokens.ctypes.data, capT, B, totals.ctypes.data,
                            out.ctypes.data, counts.ctypes.data)
-    return out[:n], counts
+    return out[:n], counts[:B]
 
 
 def scatter_runs(flat: np.ndarray, offs: np.ndarray, idx: np.ndarray,
