@@ -30,65 +30,7 @@ BASELINE_ALIGNS_PER_S = 25_004.0
 KERNEL_REPS = 6
 
 
-def _stage_inputs(ds, cfg):
-    """Stage the headline batch's inputs on device (genome words, starts,
-    lengths, packed reads) for the kernel-only and staged passes. Returns
-    None when the shape is not the Pallas identity shape."""
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-
-    from scrooge_tpu import native
-    from scrooge_tpu.api import _bucket_lin, _resolve_backend
-    from scrooge_tpu.ops import engine_pallas
-
-    engine, sk, kw = _resolve_backend(cfg, cfg.batch_tile)
-    if engine != "pallas":
-        return None
-    reads = ds.reads[: cfg.batch_tile]
-    if len(reads) < cfg.batch_tile or any(len(r.locations) != 1
-                                          for r in reads):
-        return None  # decoy/ragged shapes: use the api-level core rate
-    glen = len(ds.genome.content)
-    P = _bucket_lin(max(len(r.content) for r in reads), 1024)
-    pat = native.encode_pack_strs([r.content for r in reads], P)
-    gw = native.encode_pack_strs([ds.genome.content],
-                                 _bucket_lin(glen, 1 << 22))[0]
-    starts = np.array([r.locations[0].start_in_reference for r in reads],
-                      np.uint32)
-    longest = max(len(r.content) for r in reads)
-    maxw = -(-cfg.max_windows(longest) // 32) * 32  # same bound as api
-    tlen = np.minimum(glen - starts.astype(np.int64),
-                      maxw * cfg.tb_limit + cfg.W).astype(np.int32)
-    plen = np.array([len(r.content) for r in reads], np.int32)
-    dev = [jax.device_put(x) for x in (gw, starts, tlen, pat, plen)]
-    np.asarray(jnp.ravel(dev[3])[:1])
-    return (maxw, sk, kw, dev, len(reads))
-
-
-def _kernel_only_pass(staged, cfg):
-    """Time the device engine alone (dispatch + DP + traceback + carry),
-    one completion force for KERNEL_REPS invocations over the full batch."""
-    import numpy as np
-
-    from scrooge_tpu.ops import engine_pallas
-
-    maxw, sk, kw, dev, n = staged
-
-    def run():
-        return engine_pallas.align_batch_mapped(cfg, maxw, sk, kw, *dev)
-
-    np.asarray(run().edit_distance[:1])  # compile + warm
-    t0 = time.perf_counter()
-    res = None
-    for _ in range(KERNEL_REPS):
-        res = run()
-    np.asarray(res.edit_distance[:1])  # one completion force
-    dt = time.perf_counter() - t0
-    return KERNEL_REPS * n / dt
-
-
-def _staged_pass(staged, cfg):
+def _staged_pass(staged):
     """End-to-end-from-device pass: the FULL result pipeline (engine ->
     compaction -> tokenized d2h readback -> host CIGAR formatting) with
     the inputs already device-resident — what end-to-end becomes when the
@@ -99,7 +41,7 @@ def _staged_pass(staged, cfg):
     from scrooge_tpu import api as api_mod
     from scrooge_tpu.ops import engine_pallas
 
-    maxw, sk, kw, dev, n = staged
+    cfg, maxw, sk, kw, dev, n = staged
 
     def run_full(packed, stats=None):
         stats = stats or api_mod.AlignStats(num_pairs=n)
@@ -207,9 +149,12 @@ def main():
     # latency), which is pipeline accounting, not kernel time. Runs AFTER
     # the end-to-end rounds: its staged inputs + entry buffers otherwise
     # sit in HBM through the timed rounds (measured +0.3s of core there).
-    staged = _stage_inputs(ds, cfg)
-    kernel_aligns_per_s = _kernel_only_pass(staged, cfg) if staged else None
-    staged_rates = _staged_pass(staged, cfg) if staged else None
+    from scrooge_tpu.profiling.kernel_time import kernel_rate, stage_mapped
+
+    staged = stage_mapped(ds.genome.content, ds.reads, cfg)
+    kernel_aligns_per_s = (kernel_rate(staged, KERNEL_REPS)
+                           if staged else None)
+    staged_rates = _staged_pass(staged) if staged else None
     staged = None
 
     # headline = the dedicated kernel-only pass (clean engine boundary);

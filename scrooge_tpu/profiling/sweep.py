@@ -98,15 +98,29 @@ def _run_throughput(genome, reads, cfg: AlignConfig, data: List,
         warm = reads[: min(len(reads), cfg.batch_tile)]
         api.align_reads(genome, warm, cfg)
         api.align_reads(genome, warm, cfg)
-        _, stats = api.align_reads(genome, reads, cfg, return_stats=True)
+        # engine-only rate — what the reference's sweep metric measures
+        # (the binary's kernel section, profile.py:55-63). The api-level
+        # core_ns is pipeline accounting: on the predicted-cap fast path
+        # it spans engine AND compaction up to the single fused sync, so
+        # many-window configs (small W / large O) would absorb their
+        # compaction compute into "core" and under-read up to 20x.
+        from .kernel_time import kernel_rate, stage_mapped
+
+        staged = stage_mapped(genome.content, reads, cfg)
+        if staged is not None:
+            rate = kernel_rate(staged)
+        else:  # ragged/non-Pallas shapes: api core accounting
+            _, stats = api.align_reads(genome, reads, cfg,
+                                       return_stats=True)
+            rate = stats.aligns_per_second
     except Exception as e:  # config failed: record nothing, keep sweeping
         print(f"config failed ({e})", file=sys.stderr)
         return False
     from ..api import _resolve_backend
 
     engine = _resolve_backend(cfg, cfg.batch_tile)[0]
-    data.append([cfg.W, cfg.O, cfg.early_termination, batch_col,
-                 stats.aligns_per_second, engine])
+    data.append([cfg.W, cfg.O, cfg.early_termination, batch_col, rate,
+                 engine])
     return True
 
 
