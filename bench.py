@@ -83,9 +83,14 @@ def main():
     # representative long-read point (W=64 O=33, plot.py:1277-1291); the
     # short-read point is W=32 O=17 (plot.py:1304-1331).
     W = int(os.environ.get("BENCH_W", "64"))
+    # tile 16384 beats 32768 on BOTH the engine-only rate (212.9k vs
+    # 192.4k in a same-weather A/B; the batch-sweep family agrees:
+    # 207.2k vs 190.5k) and end-to-end (10.5k vs 9.8k) — the halved
+    # entries buffer relieves HBM pressure, and two tiles pipeline
+    # upload under compute
     cfg = AlignConfig(W=W, K=W, O=int(os.environ.get("BENCH_O", str(W // 2 + 1))),
                       early_termination=True,
-                      batch_tile=int(os.environ.get("BENCH_TILE", "32768")))
+                      batch_tile=int(os.environ.get("BENCH_TILE", "16384")))
 
     # BENCH_DECOYS > 0 switches to the chained candidate model (extra
     # wrong candidates per read) — the retry-path stress workload
