@@ -154,11 +154,17 @@ def main():
     # latency), which is pipeline accounting, not kernel time. Runs AFTER
     # the end-to-end rounds: its staged inputs + entry buffers otherwise
     # sit in HBM through the timed rounds (measured +0.3s of core there).
-    from scrooge_tpu.profiling.kernel_time import kernel_rate, stage_mapped
+    from scrooge_tpu.profiling.kernel_time import (kernel_rate_samples,
+                                                   stage_mapped)
 
     staged = stage_mapped(ds.genome.content, ds.reads, cfg)
-    kernel_aligns_per_s = (kernel_rate(staged, KERNEL_REPS)
-                           if staged else None)
+    kernel_samples = (sorted(kernel_rate_samples(staged, KERNEL_REPS))
+                      if staged else None)
+    # median of 3 independently synced groups: the headline carries an
+    # error bar (kernel_aligns_min/max in the JSON) instead of a single
+    # weather-dependent draw
+    kernel_aligns_per_s = (kernel_samples[len(kernel_samples) // 2]
+                           if kernel_samples else None)
     staged_rates = _staged_pass(staged) if staged else None
     staged = None
 
@@ -207,6 +213,9 @@ def main():
         "link_h2d_mb_s": round(h2d, 1),
         "link_d2h_mb_s": round(d2h, 1),
     }
+    if kernel_samples:
+        out["kernel_aligns_min"] = round(kernel_samples[0], 1)
+        out["kernel_aligns_max"] = round(kernel_samples[-1], 1)
     if staged_rates:
         # full result pipeline with device-resident inputs (see
         # _staged_pass): the end-to-end rate with the rig's tunnel-bound

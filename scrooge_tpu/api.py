@@ -624,19 +624,45 @@ def _assemble_packed_parts(n: int, parts, results) -> PackedAlignments:
             retry_runs[i] = runs
             lens[i] = len(runs)
             eds_out[i] = r.edit_distance
-    if not retry_runs and len(parts) == 1:
-        # single tile, nothing failed, lanes already in pair order (the
-        # equal-length headline shape: the stable length sort is the
-        # identity) -> the tile payload IS the answer; return it zero-copy
-        # instead of paying the ~0.2s scatter/memcpy pass
-        flat, offs, idxs, eds, failed = parts[0]
-        k = len(idxs)
-        if (k == n and offs.shape[0] == n + 1
-                and not np.asarray(failed[:k]).any()
-                and np.array_equal(np.asarray(idxs), np.arange(n))):
-            return PackedAlignments(
-                np.asarray(eds[:n], np.int32), offs,
-                flat[: int(offs[-1])] if len(flat) > int(offs[-1]) else flat)
+    if not retry_runs:
+        # Identity fast path: nothing failed and every tile's lanes are
+        # already in pair order as consecutive ranges (the equal-length
+        # headline shape: the stable length sort is the identity). One
+        # tile returns zero-copy; multiple tiles stitch with one
+        # concatenate (a single memcpy) instead of the ~0.2s
+        # scatter/memcpy pass. The bench's tile-16384 operating point is
+        # two tiles, so the multi-tile case is the production shape.
+        pos = 0
+        identity = True
+        for flat, offs, idxs, eds, failed in parts:
+            k = len(idxs)
+            if (offs.shape[0] != k + 1
+                    or np.asarray(failed[:k]).any()
+                    or not np.array_equal(np.asarray(idxs),
+                                          np.arange(pos, pos + k))):
+                identity = False
+                break
+            pos += k
+        if identity and pos == n:
+            if len(parts) == 1:
+                flat, offs, idxs, eds, failed = parts[0]
+                return PackedAlignments(
+                    np.asarray(eds[:n], np.int32), offs,
+                    flat[: int(offs[-1])] if len(flat) > int(offs[-1])
+                    else flat)
+            out_offs = np.zeros(n + 1, np.int64)
+            pos = 0
+            base = 0
+            flats = []
+            for flat, offs, idxs, eds, failed in parts:
+                k = len(idxs)
+                out_offs[pos + 1 : pos + k + 1] = offs[1:] + base
+                eds_out[pos : pos + k] = np.asarray(eds[:k])
+                flats.append(flat[: int(offs[-1])])
+                base += int(offs[-1])
+                pos += k
+            return PackedAlignments(eds_out, out_offs,
+                                    np.concatenate(flats))
     sel = []  # (flat, src_offs, dst_idx, src_lens) per tile
     for flat, offs, idxs, eds, failed in parts:
         k = len(idxs)

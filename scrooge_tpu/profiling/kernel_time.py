@@ -59,10 +59,16 @@ def stage_mapped(genome_content: str, reads, cfg):
     return (cfg, maxw, sk, kw, dev, len(reads))
 
 
-def kernel_rate(staged, reps: int = 4):
-    """aligns/second of the engine alone over `reps` invocations with one
-    completion force (amortizes the host<->device roundtrip; the
-    reference's single sync amortizes over its batch the same way)."""
+def kernel_rate_samples(staged, reps: int = 4, groups: int = 3):
+    """Per-group engine-only rates: `groups` independently synced groups
+    of `reps` invocations each (one completion force per group, which
+    amortizes the host<->device roundtrip exactly as the reference's
+    single sync amortizes over its batch).
+
+    Returning the group rates instead of one number is what makes
+    cross-round deltas interpretable: round-4 same-engine runs spread
+    155-213k aligns/s on the tunneled rig with no recorded error bar.
+    Callers record min/median/max of these."""
     from ..ops import engine_pallas
 
     cfg, maxw, sk, kw, dev, n = staged
@@ -71,9 +77,18 @@ def kernel_rate(staged, reps: int = 4):
         return engine_pallas.align_batch_mapped(cfg, maxw, sk, kw, *dev)
 
     np.asarray(run().edit_distance[:1])  # compile + warm
-    t0 = time.perf_counter()
-    res = None
-    for _ in range(reps):
-        res = run()
-    np.asarray(res.edit_distance[:1])  # one completion force
-    return reps * n / (time.perf_counter() - t0)
+    rates = []
+    for _ in range(max(groups, 1)):
+        t0 = time.perf_counter()
+        res = None
+        for _ in range(reps):
+            res = run()
+        np.asarray(res.edit_distance[:1])  # one completion force per group
+        rates.append(reps * n / (time.perf_counter() - t0))
+    return rates
+
+
+def kernel_rate(staged, reps: int = 4):
+    """Median engine-only aligns/second over 3 sample groups (see
+    kernel_rate_samples)."""
+    return float(np.median(kernel_rate_samples(staged, reps)))

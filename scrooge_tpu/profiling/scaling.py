@@ -134,6 +134,16 @@ def measure_device_time(engine: str, per_device: int, read_len: int,
     cfg = AlignConfig(W=64, K=64, O=33)
     platform = jax.default_backend()
     n_all = len(jax.devices())
+    # This proxy is DEFINED on the virtual CPU mesh: a TPU (or any
+    # 1-device) run can never show N-device constancy, and recording one
+    # silently produced a meaningless artifact in round 4 (a single
+    # platform=tpu devices=1 row). Hard-fail instead of recording noise.
+    if platform != "cpu" or n_all < 8:
+        raise RuntimeError(
+            f"measure_device_time requires the virtual CPU mesh "
+            f"(JAX_PLATFORMS=cpu, --xla_force_host_platform_device_count"
+            f">=8); got platform={platform!r} devices={n_all}. Run via "
+            f"--device_time so the forced-env re-exec applies.")
     rows = []
     base_cpu = None
     n = 1
@@ -213,19 +223,30 @@ def _dist_worker(pid: int, nproc: int, port: str, per_process: int,
     # warmup compile outside the timed window
     api.align_reads(ds.genome, local_reads[: cfg.batch_tile], cfg)
     mhu.sync_global_devices("scaling_start")
+    c0 = time.process_time()
     t0 = time.perf_counter()
     api.align_reads(ds.genome, local_reads, cfg)
     local_dt = time.perf_counter() - t0
+    # per-process CPU seconds of the aligned work itself (excludes the
+    # end barrier below): on a host where N processes timeshare the same
+    # cores, WALL efficiency is bounded by 1/N and measures the core
+    # oversubscription, not the software — CPU seconds per pair is the
+    # term that transfers to a real N-host run (each host then has its
+    # own cores), so the launcher normalizes efficiency by it
+    local_cpu = time.process_time() - c0
     mhu.sync_global_devices("scaling_end")
     wall = time.perf_counter() - t0  # includes the straggler barrier
-    times = mhu.process_allgather(np.array([local_dt]))
+    gathered = mhu.process_allgather(np.array([local_dt, local_cpu]))
     if jax.process_index() == 0:
+        g = np.asarray(gathered).reshape(nproc, 2)
         print(json.dumps({
             "platform": jax.default_backend(), "processes": nproc,
             "per_process": per_process, "total_pairs": total_pairs,
             "read_len": read_len,
             "aligns_per_second": round(total_pairs / wall, 1),
-            "slowest_process_s": round(float(np.asarray(times).max()), 4),
+            "slowest_process_s": round(float(g[:, 0].max()), 4),
+            "cpu_s": round(float(g[:, 1].sum()), 4),
+            "cpu_s_max": round(float(g[:, 1].max()), 4),
         }))
     return 0
 
@@ -262,9 +283,21 @@ def run_distributed(nproc_max: int, per_process: int, read_len: int,
         aps = row["aligns_per_second"]
         if base_aps is None:
             base_aps = aps
+            base_cpu_per_pair = row["cpu_s"] / row["total_pairs"]
         row["weak_scaling_efficiency"] = round(aps / (base_aps * n), 4)
+        # CPU-normalized efficiency: CPU seconds PER PAIR at N processes
+        # vs 1 process. Wall efficiency on this single host is capped at
+        # 1/N by core timesharing; cpu/pair is what a real N-host run
+        # keeps (gloo transport, barrier spin, and serialization all land
+        # in it), so >=0.8 here is the honest proxy for the BASELINE
+        # >=80%-at-2-hosts target.
+        cpu_per_pair = row["cpu_s"] / row["total_pairs"]
+        row["cpu_normalized_efficiency"] = round(
+            base_cpu_per_pair / cpu_per_pair, 4)
         print(f"processes={n} {aps:,.0f} aligns/s "
-              f"eff={row['weak_scaling_efficiency']:.2%}", file=sys.stderr)
+              f"eff={row['weak_scaling_efficiency']:.2%} "
+              f"cpu_eff={row['cpu_normalized_efficiency']:.2%}",
+              file=sys.stderr)
         rows.append(row)
     with open(out, "w", newline="") as f:
         w = csv.DictWriter(f, fieldnames=list(rows[-1].keys()))

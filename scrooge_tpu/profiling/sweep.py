@@ -104,23 +104,25 @@ def _run_throughput(genome, reads, cfg: AlignConfig, data: List,
         # it spans engine AND compaction up to the single fused sync, so
         # many-window configs (small W / large O) would absorb their
         # compaction compute into "core" and under-read up to 20x.
-        from .kernel_time import kernel_rate, stage_mapped
+        from .kernel_time import kernel_rate_samples, stage_mapped
 
         staged = stage_mapped(genome.content, reads, cfg)
         if staged is not None:
-            rate = kernel_rate(staged)
+            samples = sorted(kernel_rate_samples(staged))
+            rate = samples[len(samples) // 2]
+            lo, hi = samples[0], samples[-1]
         else:  # ragged/non-Pallas shapes: api core accounting
             _, stats = api.align_reads(genome, reads, cfg,
                                        return_stats=True)
-            rate = stats.aligns_per_second
+            rate = lo = hi = stats.aligns_per_second
     except Exception as e:  # config failed: record nothing, keep sweeping
         print(f"config failed ({e})", file=sys.stderr)
         return False
     from ..api import _resolve_backend
 
     engine = _resolve_backend(cfg, cfg.batch_tile)[0]
-    data.append([cfg.W, cfg.O, cfg.early_termination, batch_col, rate,
-                 engine])
+    data.append([cfg.W, cfg.O, cfg.early_termination, batch_col,
+                 round(rate, 1), engine, round(lo, 1), round(hi, 1)])
     return True
 
 
@@ -177,7 +179,12 @@ def _run_throughput_ladder(genome, reads, cfg: AlignConfig, data: List,
 
 
 THROUGHPUT_HEADER = ["W", "O", "early termination", "batch",
-                     "aligns/second", "engine"]
+                     "aligns/second", "engine",
+                     # spread over kernel_rate_samples' 3 independently
+                     # synced groups (median is the aligns/second column);
+                     # api-accounted rows carry the single measurement in
+                     # all three columns
+                     "aligns/second min", "aligns/second max"]
 
 
 def sweep_wo(genome, reads, backend: str, out: Path, max_experiments: int,

@@ -332,6 +332,26 @@ def test_return_packed_read_mapping():
         assert packed.cigar(i) == a.cigar
 
 
+def test_return_packed_multi_tile_identity():
+    """Equal-length reads over MULTIPLE tiles (the bench's tile-16384
+    operating point is two tiles): the stable length sort is the
+    identity, so packed assembly takes the multi-tile stitch fast path —
+    outputs must still match the string path pair for pair."""
+    from scrooge_tpu import api
+    from scrooge_tpu.utils.simulate import simulate_dataset
+
+    ds = simulate_dataset(genome_len=60_000, num_reads=384, read_len=200,
+                          accuracy=0.95, seed=13)
+    cfg = AlignConfig(W=64, K=64, O=33, backend="xla", batch_tile=128)
+    strs, s_stats = api.align_reads(ds.genome, ds.reads, cfg,
+                                    return_stats=True)
+    packed = api.align_reads(ds.genome, ds.reads, cfg, return_packed=True)
+    assert len(packed) == len(strs) == 384
+    for i, a in enumerate(strs):
+        assert int(packed.edit_distances[i]) == a.edit_distance
+        assert packed.cigar(i) == a.cigar
+
+
 def test_tail_tile_shrinks_to_pow2_bucket():
     """A trailing partial tile must shrink to a pow2 bucket (>=1024), not
     pad to the full tile — pad lanes are real device time (api._tile_B).

@@ -44,10 +44,13 @@ def test_sweep_writes_reference_schema_csvs(sweep_dir):
     # throughput axis (sweep.py module docstring); batch records the
     # operating point of every row
     assert rows[0] == ["W", "O", "early termination", "batch",
-                       "aligns/second", "engine"]
+                       "aligns/second", "engine",
+                       "aligns/second min", "aligns/second max"]
     assert len(rows) > 1
     assert float(rows[1][4]) > 0
     assert rows[1][5] in ("xla", "pallas")
+    # spread columns bracket the median
+    assert float(rows[1][6]) <= float(rows[1][4]) <= float(rows[1][7])
 
 
 def test_accuracy_sweep_and_plots(tmp_path):

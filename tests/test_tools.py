@@ -77,6 +77,58 @@ def test_simulated_dataset_cli_and_sweep_smoke(tmp_path):
     assert len(reads) == 4 and all(r.locations for r in reads)
 
 
+def test_download_extract_via_local_server(tmp_path):
+    """The Zenodo fetch path (scripts/download_datasets.py analogue)
+    exercised for real: a 2-record dataset tarball served by a local
+    http.server is downloaded, extracted into the profile.py layout
+    contract, and loaded through the normal dataset loader — so the
+    fetch/extract logic is tested code even on this air-gapped rig."""
+    import functools
+    import http.server
+    import tarfile
+    import threading
+
+    from scrooge_tpu.tools.download_datasets import download
+
+    genome = ("ACGTTGCAAGGCTTAC" * 8)
+    r0, r1 = genome[0:40], genome[50:95]
+    src = tmp_path / "src" / "tiny"
+    src.mkdir(parents=True)
+    (src / "reference.fasta").write_text(f">chr1\n{genome}\n")
+    (src / "reads.fastq").write_text(
+        f"@read0\n{r0}\n+\n{'I' * len(r0)}\n"
+        f"@read1\n{r1}\n+\n{'I' * len(r1)}\n")
+    (src / "candidates.paf").write_text(
+        f"read0\t{len(r0)}\t0\t{len(r0)}\t+\tchr1\t{len(genome)}\t0\t"
+        f"{len(r0)}\t{len(r0)}\t{len(r0)}\t60\n"
+        f"read1\t{len(r1)}\t0\t{len(r1)}\t+\tchr1\t{len(genome)}\t50\t"
+        f"{50 + len(r1)}\t{len(r1)}\t{len(r1)}\t60\n")
+    srv_dir = tmp_path / "srv"
+    srv_dir.mkdir()
+    with tarfile.open(srv_dir / "scrooge_datasets.tar.gz", "w:gz") as tar:
+        tar.add(src, arcname="tiny")
+
+    handler = functools.partial(http.server.SimpleHTTPRequestHandler,
+                                directory=str(srv_dir))
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        url = (f"http://127.0.0.1:{srv.server_address[1]}/"
+               f"scrooge_datasets.tar.gz")
+        dd = tmp_path / "datasets"
+        assert download(str(dd), url) == 0
+        assert not (dd / "datasets.tar.gz").exists()  # tarball cleaned up
+
+        from scrooge_tpu import io as sio
+
+        genome_t, reads = sio.load_dataset(dd / "tiny")
+        assert genome_t.content == genome
+        assert [r.content for r in reads] == [r0, r1]
+        assert [r.locations[0].start_in_reference for r in reads] == [0, 50]
+    finally:
+        srv.shutdown()
+
+
 def test_asic_model_matches_reference_linear_numbers():
     """The analytical vault model must reproduce the reference's linear
     (non-CACTI) improvement factors (asic_numbers.py improvements)."""
