@@ -88,8 +88,16 @@ def main():
     # 207.2k vs 190.5k) and end-to-end (10.5k vs 9.8k) — the halved
     # entries buffer relieves HBM pressure, and two tiles pipeline
     # upload under compute
+    # tb_cap operating point (BENCH_TBCAP, 0 = the auto min(K, 32)): on
+    # the round-5 pair-packed-result engine the default cap measures
+    # FASTEST at the bench tile (247.9k vs 207.3k at cap=16, tile 16384;
+    # the pre-packed engine preferred cap=16 — tools/r5_kernel_ab.py), so
+    # auto stays the operating point; the knob remains for the tbcap
+    # sweep axis and high-error studies.
+    tb_cap = int(os.environ.get("BENCH_TBCAP", "0"))
     cfg = AlignConfig(W=W, K=W, O=int(os.environ.get("BENCH_O", str(W // 2 + 1))),
                       early_termination=True,
+                      tb_cap_override=tb_cap,
                       batch_tile=int(os.environ.get("BENCH_TILE", "16384")))
 
     # BENCH_DECOYS > 0 switches to the chained candidate model (extra

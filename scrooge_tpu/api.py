@@ -326,15 +326,20 @@ def _cap_key(cfg, res):
     return (cfg, int(res.entries.shape[0]))
 
 
-def _update_cap_cache(key, totals_max, tok_max, wmax):
+def _update_cap_cache(key, totals_max, tok_max, wmax, wused_max=0):
     cap = _bucket_lin(totals_max + 128, 512)
     capT = _bucket_lin(tok_max + 64, 256)
     ne3c = 1 << max(2, (max(wmax, 1) - 1).bit_length())
+    # window-axis slice: max_windows carries ~1.34x deletion headroom
+    # realistic reads never touch, and the compaction passes scale with
+    # the window axis — cap it at the observed windows-used (bucketed;
+    # overflow fails the lane to the retry, exactly like the run caps)
+    wcap = _bucket_lin(wused_max + 8, 32) if wused_max else 0
     old = _cap_cache.get(key)
     if old:
-        cap, capT, ne3c = (max(cap, old[0]), max(capT, old[1]),
-                           max(ne3c, old[2]))
-    _cap_cache[key] = (cap, capT, ne3c)
+        cap, capT, ne3c, wcap = (max(cap, old[0]), max(capT, old[1]),
+                                 max(ne3c, old[2]), max(wcap, old[3]))
+    _cap_cache[key] = (cap, capT, ne3c, wcap)
 
 
 def _consume_tokens(toksc, tok_tot, stats, packed_out, t0):
@@ -438,9 +443,12 @@ def _build_alignments(cfg, res, stats, meta=None,
         # overflow a predicted cap have truncated output and are failed
         # to the exact retry path; the cache then grows for the next tile.
         t0 = time.perf_counter_ns()
-        cap, capT, ne3c = pred
+        cap, capT, ne3c, wcap = pred
+        ent_in, cnt_in = res.entries, res.counts
+        if 0 < wcap < ent_in.shape[0]:
+            ent_in, cnt_in = ent_in[:wcap], cnt_in[:wcap]
         toks2, _, tok_tot_dev = tokens_mod.compact_tokenize(
-            res.entries, res.counts, cap, sparse_rows, ne3c)
+            ent_in, cnt_in, cap, sparse_rows, ne3c)
         toksc = tokens_mod.compact_tokens(toks2, capT)
         meta5 = np.asarray(tokens_mod.fused_meta(res, tok_tot_dev))
         if tns is not None:
@@ -449,16 +457,18 @@ def _build_alignments(cfg, res, stats, meta=None,
             stats.core_ns += time.perf_counter_ns() - tns
         stats.compact_ns += time.perf_counter_ns() - t0
         eds_host, totals_host, failed = meta5[0], meta5[1], meta5[2]
-        wmax_l, tok_tot = meta5[3], meta5[4]
+        wmax_l, wused_l, tok_tot = meta5[3], meta5[4], meta5[5]
         over = ((totals_host > cap) | (tok_tot > capT)
-                | (wmax_l > ne3c)).astype(np.int32)
+                | (wmax_l > ne3c)
+                | ((wused_l > wcap) if wcap else False)).astype(np.int32)
         failed = failed | (over * FAIL_OVERFLOW)
         if sparse_rows:  # kernel reason bits only (mask api overflow bit)
             stats.count_fail_reasons(failed & 15)
         _update_cap_cache(_cap_key(cfg, res),
                           int(totals_host.max(initial=0)),
                           int(tok_tot.max(initial=0)),
-                          int(wmax_l.max(initial=0)))
+                          int(wmax_l.max(initial=0)),
+                          int(wused_l.max(initial=0)))
         payload = _consume_tokens(toksc, tok_tot, stats, packed_out, t0)
         return eds_host, payload, failed
 
@@ -479,15 +489,20 @@ def _build_alignments(cfg, res, stats, meta=None,
         cap = _bucket_lin(max(int(totals_host.max(initial=0)), 1), 512)
         wmax = int(meta[3].max(initial=0)) if meta.shape[0] > 3 else 0
         ne3c = 1 << max(2, (max(wmax, 1) - 1).bit_length()) if wmax else 0
+        wused_max = int(meta[4].max(initial=0)) if meta.shape[0] > 4 else 0
+        wcap = _bucket_lin(wused_max + 8, 32) if wused_max else 0
+        ent_in, cnt_in = res.entries, res.counts
+        if 0 < wcap < ent_in.shape[0]:
+            ent_in, cnt_in = ent_in[:wcap], cnt_in[:wcap]
         toks2, _, tok_tot_dev = tokens_mod.compact_tokenize(
-            res.entries, res.counts, cap, sparse_rows, ne3c)
+            ent_in, cnt_in, cap, sparse_rows, ne3c)
         tok_tot = np.asarray(tok_tot_dev)  # sync: picks the token cap
         capT = _bucket_lin(max(int(tok_tot.max(initial=0)), 1), 256)
         toksc = tokens_mod.compact_tokens(toks2, capT)
         stats.compact_ns += time.perf_counter_ns() - t0
         _update_cap_cache(_cap_key(cfg, res),
                           int(totals_host.max(initial=0)),
-                          int(tok_tot.max(initial=0)), wmax)
+                          int(tok_tot.max(initial=0)), wmax, wused_max)
         payload = _consume_tokens(toksc, tok_tot, stats, packed_out, t0)
         return eds_host, payload, failed
 

@@ -1028,12 +1028,13 @@ def _align_scan(cfg: AlignConfig, sk: int, kw: int, max_windows: int,
                                 FAIL_INCOMPLETE, 0)
 
     # SPARSE rows (tb_rows wide): non-empty slots are complete maximal
-    # runs in order; compact with compact_entries_sparse[_u8].
-    # Unpack the kernel's pair-packed int32 rows (lo = row 2j, hi = 2j+1;
-    # values < 2^30 so the arithmetic >> is safe)
-    lo = (entries & 0xFFFF).astype(jnp.uint16)
-    hi = (entries >> 16).astype(jnp.uint16)
-    entries = jnp.stack([lo, hi], axis=3).reshape(n_steps * kw, NE3, B)
+    # runs in order. The engine returns them PAIR-PACKED — (maxw, NE3/2,
+    # B) int32, rows (2j, 2j+1) in the low/high halfwords — and the
+    # unpack is deferred into the consumers' jits (unpack_entry_pairs /
+    # the compactors), where XLA fuses it into their first elementwise
+    # pass: materializing the unpacked u16 store here cost a 1.9 GB
+    # write + re-read per headline batch for nothing.
+    entries = entries.reshape(n_steps * kw, NE3H, B)
     counts = counts.reshape(n_steps * kw, B).astype(jnp.int32)
     if n_steps * kw > max_windows:
         # the slab loop runs whole slabs, so when kw does not divide
@@ -1159,11 +1160,26 @@ def _pack_rows_dense(entries):
     return ent
 
 
+def unpack_entry_pairs(packed):
+    """Pair-packed engine rows (MAXW, NE3/2, B) int32 -> sparse u16 rows
+    (MAXW, NE3, B): row 2j from the low halfword, 2j+1 from the high.
+    Values are < 2^30, so the arithmetic >> is safe. Call this INSIDE a
+    consumer's jit — XLA fuses it into the consumer's first elementwise
+    pass, which is the point of deferring it out of the engine (a
+    materialized unpack cost a 1.9 GB store + re-read per headline
+    batch)."""
+    maxw, ne3h, b = packed.shape
+    lo = (packed & 0xFFFF).astype(jnp.uint16)
+    hi = (packed >> 16).astype(jnp.uint16)
+    return jnp.stack([lo, hi], axis=2).reshape(maxw, 2 * ne3h, b)
+
+
 @functools.partial(jax.jit, static_argnums=(2,))
 def compact_entries_sparse(entries, counts, cap: int):
     """engine_xla.compact_entries for the Pallas engine's SPARSE rows.
 
-    entries: (MAXW, NE3, B) uint16 per-window traceback rows where empty
+    entries: the engine's pair-packed (MAXW, NE3/2, B) int32 rows (see
+    unpack_entry_pairs) holding per-window traceback rows where empty
     slots are 0 and each lane's non-empty slots hold its maximal CIGAR
     runs in order; counts: (MAXW, B) int32 runs per window (== the
     nonzero slots per window). Output slot g of lane b holds the g-th run
@@ -1175,10 +1191,10 @@ def compact_entries_sparse(entries, counts, cap: int):
     binary search (~11 s/batch at the headline benchmark shape) and a
     window binary search + word-packed run gather (~5 s/batch); the
     gather-free shifts run the same batch in ~0.2 s."""
-    maxw, ne3, b = entries.shape
+    maxw, ne3h, b = entries.shape
     from .engine_xla import _compact_flat_logshift
 
-    flat = entries.reshape(maxw * ne3, b)
+    flat = unpack_entry_pairs(entries).reshape(maxw * 2 * ne3h, b)
     out, totals = _compact_flat_logshift(flat, flat != 0, cap)
     return out.astype(jnp.uint16), totals
 
@@ -1190,8 +1206,8 @@ def compact_entries_sparse_u8(entries, counts, cap: int):
     log-shift passes, halving their traffic."""
     from .engine_xla import _compact_flat_logshift, _entries_to_u8
 
-    maxw, ne3, b = entries.shape
-    flat = entries.reshape(maxw * ne3, b)
+    maxw, ne3h, b = entries.shape
+    flat = unpack_entry_pairs(entries).reshape(maxw * 2 * ne3h, b)
     out, totals = _compact_flat_logshift(_entries_to_u8(flat), flat != 0,
                                          cap)
     return out.astype(jnp.uint8), totals

@@ -446,14 +446,20 @@ def align_batch_mapped(cfg: AlignConfig, max_windows: int,
 @jax.jit
 def batch_meta(res: BatchResult):
     """Per-lane (edit distance, run total, failure mask, max runs in any
-    one window) as ONE (4, B) int32 array, so the host learns all four in
-    a single d2h roundtrip (each roundtrip costs ~30-60ms on tunneled
-    rigs). Row 3 sizes the two-level compaction's window slice."""
+    one window, windows used) as ONE (5, B) int32 array, so the host
+    learns all five in a single d2h roundtrip (each roundtrip costs
+    ~30-60ms on tunneled rigs). Row 3 sizes the two-level compaction's
+    window-row slice; row 4 (the index of the last window that emitted
+    runs, +1) sizes its window-axis slice — max_windows is a worst-case
+    deletion-headroom bound ~1.34x the windows realistic reads touch."""
+    maxw = res.counts.shape[0]
+    wiota = jnp.arange(1, maxw + 1, dtype=jnp.int32)[:, None]
     return jnp.stack([
         res.edit_distance.astype(jnp.int32),
         jnp.sum(res.counts, axis=0).astype(jnp.int32),
         res.failed.astype(jnp.int32),
         jnp.max(res.counts, axis=0).astype(jnp.int32),
+        jnp.max(jnp.where(res.counts > 0, wiota, 0), axis=0),
     ])
 
 

@@ -94,12 +94,18 @@ def compact_tokenize(entries, counts, cap: int, sparse: bool,
                              _entries_to_u8)
 
     maxw, ne3, b = entries.shape
+    if sparse:
+        ne3 *= 2  # the Pallas engine's rows arrive pair-packed
     if ne3c and ne3c < ne3:
-        e8 = _entries_to_u8(entries)
         if sparse:
-            from .engine_pallas import _pack_rows_dense
+            from .engine_pallas import _pack_rows_dense, unpack_entry_pairs
 
-            e8 = _pack_rows_dense(e8)
+            # the unpack fuses into _entries_to_u8 / the first pack pass
+            # inside this jit (see unpack_entry_pairs)
+            e8 = _pack_rows_dense(_entries_to_u8(unpack_entry_pairs(
+                entries)))
+        else:
+            e8 = _entries_to_u8(entries)
         sliced = e8[:, :ne3c]
         valid = _dense_valid(counts, ne3c)
         comp, totals = _compact_flat_logshift(

@@ -450,8 +450,10 @@ def test_pallas_emitter_counts_match_nonzero_slots():
         cfg, maxw, sk, kw,
         engine_pallas.pack_2bit_host(text), tlen,
         engine_pallas.pack_2bit_host(pattern), plen)
-    entries = np.asarray(res.entries)   # (maxw, ne3, B) sparse rows
+    # (maxw, ne3/2, B) pair-packed sparse rows: count nonzero halfwords
+    packed = np.asarray(res.entries).astype(np.uint32)
     counts = np.asarray(res.counts)     # (maxw, B)
-    nonzero = (entries != 0).sum(axis=1)
+    nonzero = ((packed & 0xFFFF) != 0).sum(axis=1) \
+        + ((packed >> 16) != 0).sum(axis=1)
     assert np.array_equal(counts, nonzero)
     assert counts.sum() > 0  # the invariant isn't vacuous

@@ -44,10 +44,29 @@ def test_fast_path_truncating_caps_still_exact():
     api._cap_cache.clear()
     api.align_pairs(texts[:2], queries[:2], cfg)
     key = next(iter(api._cap_cache))
-    api._cap_cache[key] = (512, 256, 4)  # ne3c=4 truncates busy windows
+    api._cap_cache[key] = (512, 256, 4, 0)  # ne3c=4 truncates busy windows
     got, stats = api.align_pairs(texts, queries, cfg, return_stats=True)
     api._cap_cache.clear()
     assert stats.retried_pairs > 0  # overflow lanes actually retried
+    for a, o in zip(got, oracle):
+        assert (a.edit_distance, a.cigar) == (o.edit_distance, o.cigar)
+
+
+def test_fast_path_window_cap_truncation_still_exact():
+    """A window-axis cap (wcap) smaller than some lanes' windows-used
+    must fail those lanes to the retry, never truncate output silently."""
+    texts, queries = _pairs(6, 400, 340, 0.05, 31)
+    cfg = AlignConfig(W=64, K=64, O=33, backend="xla", batch_tile=128)
+    oracle = api.align_pairs(texts, queries,
+                             AlignConfig(W=64, K=64, O=33, backend="pyref"))
+    api._cap_cache.clear()
+    api.align_pairs(texts[:2], queries[:2], cfg)
+    key = next(iter(api._cap_cache))
+    cap, capT, ne3c, _ = api._cap_cache[key]
+    api._cap_cache[key] = (cap, capT, ne3c, 4)  # 340bp needs ~11 windows
+    got, stats = api.align_pairs(texts, queries, cfg, return_stats=True)
+    api._cap_cache.clear()
+    assert stats.retried_pairs > 0
     for a, o in zip(got, oracle):
         assert (a.edit_distance, a.cigar) == (o.edit_distance, o.cigar)
 
