@@ -356,9 +356,21 @@ def _consume_tokens(toksc, tok_tot, stats, packed_out, t0):
     consume_ns = 0
     from concurrent.futures import ThreadPoolExecutor
 
+    capT_full = int(toksc.shape[1])
+    tok_np = np.asarray(tok_tot)
+
     def read_chunk(c0, c1):
-        # toksc is lane-major (B, capT): row ranges are contiguous
-        part = np.asarray(toksc[c0:c1, :])
+        # toksc is lane-major (B, capT): row ranges are contiguous.
+        # Columns are sliced to the CHUNK's max token count (tok_tot is
+        # already host-side from the fused meta): capT is bucketed ~14%
+        # above the batch max, and per-chunk maxima shave a little more —
+        # 33.6 -> ~28.6 MB at the headline shape for one device slice per
+        # chunk. (The dense sum of tok_tot is 25.8 MB there — the 1
+        # byte/token floor of this format; the residual over it is
+        # intra-chunk variance, measured in tools/r5_tok_stats.py.)
+        mt = min(int(tok_np[c0:c1].max(initial=0)), capT_full)
+        part = np.asarray(toksc[c0:c1, :mt]) if mt else \
+            np.zeros((c1 - c0, 0), np.uint8)
         stats.readback_bytes += part.nbytes
         return part
 
