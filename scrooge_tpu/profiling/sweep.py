@@ -88,22 +88,17 @@ def _load(dataset: str, datasets_dir: Path, with_truth: bool = False):
 def _run_throughput(genome, reads, cfg: AlignConfig, data: List,
                     batch_col: int) -> bool:
     try:
-        # warmup pass: jit compilation happens here, not in the timed run
-        # (the reference recompiles per config but times only the binary's
-        # kernel section, profile.py:28-63). TWICE: the first run takes
-        # the slow compaction path (and fills the predicted-cap cache),
-        # the second compiles the predicted-cap fast-path programs — with
-        # a single warmup that compile (~seconds) lands inside the timed
-        # run's core_ns (measured: 60x-understated W=32/64 rows).
-        warm = reads[: min(len(reads), cfg.batch_tile)]
-        api.align_reads(genome, warm, cfg)
-        api.align_reads(genome, warm, cfg)
         # engine-only rate — what the reference's sweep metric measures
         # (the binary's kernel section, profile.py:55-63). The api-level
         # core_ns is pipeline accounting: on the predicted-cap fast path
         # it spans engine AND compaction up to the single fused sync, so
         # many-window configs (small W / large O) would absorb their
         # compaction compute into "core" and under-read up to 20x.
+        # kernel_rate_samples does its own engine warmup; the full-api
+        # warmups run ONLY on the fallback path — compiling and running
+        # the whole compaction pipeline per config costs minutes at small
+        # W (W=16's ~1900-window run store) and the engine-only metric
+        # never touches it (measured: 24 min for the W=16 row, 2026-08-20).
         from .kernel_time import kernel_rate_samples, stage_mapped
 
         staged = stage_mapped(genome.content, reads, cfg)
@@ -112,6 +107,17 @@ def _run_throughput(genome, reads, cfg: AlignConfig, data: List,
             rate = samples[len(samples) // 2]
             lo, hi = samples[0], samples[-1]
         else:  # ragged/non-Pallas shapes: api core accounting
+            # warmup pass: jit compilation happens here, not in the timed
+            # run (the reference recompiles per config but times only the
+            # binary's kernel section, profile.py:28-63). TWICE: the
+            # first run takes the slow compaction path (and fills the
+            # predicted-cap cache), the second compiles the predicted-cap
+            # fast-path programs — with a single warmup that compile
+            # (~seconds) lands inside the timed run's core_ns (measured:
+            # 60x-understated W=32/64 rows).
+            warm = reads[: min(len(reads), cfg.batch_tile)]
+            api.align_reads(genome, warm, cfg)
+            api.align_reads(genome, warm, cfg)
             _, stats = api.align_reads(genome, reads, cfg,
                                        return_stats=True)
             rate = lo = hi = stats.aligns_per_second
