@@ -129,6 +129,52 @@ def test_download_extract_via_local_server(tmp_path):
         srv.shutdown()
 
 
+def test_download_profile_via_local_server(tmp_path):
+    """The published-profile fetcher (scripts/download_profile.py
+    analogue) through the same local-server path: fetch, extract, tarball
+    cleanup."""
+    import functools
+    import http.server
+    import tarfile
+    import threading
+
+    from scrooge_tpu.tools.download_profile import download
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "cpu_sweep.csv").write_text("W,O,aligns/second\n64,33,100.0\n")
+    srv_dir = tmp_path / "srv"
+    srv_dir.mkdir()
+    with tarfile.open(srv_dir / "scrooge_profile.tar.gz", "w:gz") as tar:
+        tar.add(src / "cpu_sweep.csv", arcname="published/cpu_sweep.csv")
+    handler = functools.partial(http.server.SimpleHTTPRequestHandler,
+                                directory=str(srv_dir))
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        url = (f"http://127.0.0.1:{srv.server_address[1]}/"
+               f"scrooge_profile.tar.gz")
+        pd = tmp_path / "profile"
+        assert download(str(pd), url) == 0
+        assert not (pd / "profile.tar.gz").exists()
+        got = (pd / "published" / "cpu_sweep.csv").read_text()
+        assert "64,33,100.0" in got
+    finally:
+        srv.shutdown()
+
+
+def test_library_example_runs():
+    """The reference ships a runnable library_example (library_example.cu)
+    — ours must keep running through the public API (CPU backends)."""
+    env = dict(os.environ, PYTHONPATH=REPO, JAX_PLATFORMS="cpu")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "examples",
+                                      "library_example.py")],
+        capture_output=True, text=True, env=env, timeout=600)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "edit_distance" in proc.stdout or "=" in proc.stdout
+
+
 def test_asic_model_matches_reference_linear_numbers():
     """The analytical vault model must reproduce the reference's linear
     (non-CACTI) improvement factors (asic_numbers.py improvements)."""
