@@ -64,17 +64,27 @@ def plot_throughput(csv_path: str, out: str, x_axis: str = "W"):
 
     rows = _read_csv(csv_path)
     series: Dict[bool, Dict[float, float]] = defaultdict(dict)
+    band: Dict[bool, Dict[float, tuple]] = defaultdict(dict)
     for r in rows:
         et = _bool(r["early termination"])
         x = float(r[x_axis])
         y = float(r["aligns/second"])
-        series[et][x] = max(series[et].get(x, 0.0), y)
+        if y >= series[et].get(x, 0.0):
+            series[et][x] = y
+            # min/max spread columns (3 independently synced sample
+            # groups per row) when present: drawn as an error band
+            lo = float(r.get("aligns/second min") or y)
+            hi = float(r.get("aligns/second max") or y)
+            band[et][x] = (lo, hi)
 
     fig, ax = plt.subplots(figsize=(6, 4))
     for et, pts in sorted(series.items()):
         xs = sorted(pts)
-        ax.plot(xs, [pts[x] for x in xs], marker="o",
-                label=f"ET={'on' if et else 'off'}")
+        line, = ax.plot(xs, [pts[x] for x in xs], marker="o",
+                        label=f"ET={'on' if et else 'off'}")
+        ax.fill_between(xs, [band[et][x][0] for x in xs],
+                        [band[et][x][1] for x in xs],
+                        color=line.get_color(), alpha=0.2, linewidth=0)
     ax.set_xlabel(x_axis)
     ax.set_ylabel("aligns/second")
     ax.set_title(f"Throughput vs {x_axis}")
