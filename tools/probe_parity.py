@@ -27,6 +27,8 @@ def main(argv=None) -> int:
     p.add_argument("--pairs", type=int, default=2048)
     p.add_argument("--read_len", type=int, default=2000)
     p.add_argument("--accuracy", type=float, default=0.92)
+    p.add_argument("--W", type=int, default=64)
+    p.add_argument("--O", type=int, default=0)
     args = p.parse_args(argv)
 
     import jax
@@ -40,10 +42,14 @@ def main(argv=None) -> int:
                           read_len=args.read_len, accuracy=args.accuracy,
                           seed=13)
     tile = min(args.pairs, 8192)
+    W = args.W
+    O = args.O or (W // 2 + 1)
     pal = api.align_reads(ds.genome, ds.reads,
-                          AlignConfig(backend="pallas", batch_tile=tile))
+                          AlignConfig(W=W, K=W, O=O, backend="pallas",
+                                      batch_tile=tile))
     xla = api.align_reads(ds.genome, ds.reads,
-                          AlignConfig(backend="xla", batch_tile=tile))
+                          AlignConfig(W=W, K=W, O=O, backend="xla",
+                                      batch_tile=tile))
     bad = 0
     for i, (a, b) in enumerate(zip(pal, xla)):
         if (a.edit_distance, a.cigar) != (b.edit_distance, b.cigar):
