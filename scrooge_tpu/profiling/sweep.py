@@ -234,7 +234,8 @@ def sweep_batch(genome, reads, backend: str, out: Path, max_experiments: int,
     The top tiles are the engine's measured operating point (bench runs
     at 32768); datasets smaller than a tile would measure padding, so
     oversized tiles are dropped."""
-    tiles = [1024, 2048, 4096, 8192, 16384, 32768][: max(1, max_experiments)]
+    tiles = [1024, 2048, 4096, 8192, 16384, 24576,
+             32768][: max(1, max_experiments)]
     tiles = [t for t in tiles if t <= max(1024, len(reads))]
     data: List = []
     O = W // 2 + 1
