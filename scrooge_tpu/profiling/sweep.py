@@ -182,6 +182,17 @@ def _run_throughput_ladder(genome, reads, cfg: AlignConfig, data: List,
         b //= 2
         print(f"retrying W={cfg.W} O={cfg.O} at batch {b}",
               file=sys.stderr)
+    # last resort: the XLA engine at a watchdog-safe batch — a config
+    # that faults the TPU worker on the Pallas engine (observed: W=240,
+    # a vendor-stack Mosaic fault) still gets an honest row, marked by
+    # its engine column, like the W>=512 fallback rows (w512_xla.csv)
+    if cfg.backend == "auto":
+        bx = min(2048, max(floor, 1024))
+        cfg_x = dataclasses.replace(cfg, backend="xla", batch_tile=bx)
+        print(f"W={cfg.W} O={cfg.O}: pallas exhausted; XLA fallback row "
+              f"at batch {bx}", file=sys.stderr)
+        _run_throughput(genome, reads[: min(len(reads), bx)], cfg_x,
+                        data, bx)
 
 
 THROUGHPUT_HEADER = ["W", "O", "early termination", "batch",
