@@ -23,6 +23,7 @@ reference would hang on) are retried on the exact scalar path and raise
 
 from __future__ import annotations
 
+import dataclasses
 import os
 import sys
 import time
@@ -269,7 +270,7 @@ def _fill_rows(buffer: np.ndarray, rows):
 
 
 def _resolve_backend(cfg: AlignConfig, batch: int, n_dev: int = 1):
-    """Pick the device engine: ("pallas", sk, kw) or ("xla", 0, 0).
+    """Pick the device engine: ("pallas", sk, kw, cfg) or ("xla", 0, 0, cfg).
 
     "auto" uses the Pallas kernel whenever the config's DP state fits VMEM
     (it is bit-identical to the XLA engine and much faster on TPU; off-TPU
@@ -278,15 +279,40 @@ def _resolve_backend(cfg: AlignConfig, batch: int, n_dev: int = 1):
     the reference GPU's shared->global DP memory fallback
     (genasm_gpu.cu:584-600, DP_MEMORY=GLOBAL). The kernel tile is chosen
     from the PER-DEVICE sublane count when the batch is mesh-sharded.
+
+    When the config misses the VMEM budget only because of its R scratch
+    (observed: W=240, whose traceback bit range [O-1, W) straddles 5
+    words where every neighbouring W needs 4, pushing the sk=8 model to
+    95MB vs the 92MB budget), "auto" and "pallas" shrink the per-window
+    d-search cap
+    (tb_cap_override) until the kernel fits instead of paying the
+    ~300x XLA-engine fallback: a reduced cap changes only WHICH lanes
+    take the escalation ladder / full-K retry (exactness is preserved,
+    _escalate_tb_cap -> _retry_batched_xla), the device analogue of the
+    reference shrinking its per-block DP allocation before spilling to
+    global memory (genasm_gpu.cu:584-600). The possibly-adjusted cfg is
+    returned; callers must use it for the engine calls.
     """
     import jax
 
     from .ops import engine_pallas
 
     if cfg.backend == "xla":
-        return "xla", 0, 0
+        return "xla", 0, 0, cfg
     S = batch // (128 * max(n_dev, 1))
     sk, kw = engine_pallas.choose_kernel_shape(cfg, S)
+    if (sk == 0 and not cfg.tb_cap_override
+            and engine_pallas.slab_bound_ok(cfg)
+            and (cfg.backend == "pallas"
+                 or jax.default_backend() == "tpu")):
+        # VMEM-fit cap shrink (see docstring). Floor of 8: below that the
+        # escalation/retry volume outgrows the kernel-speed win.
+        for cap in range(cfg.tb_cap - 4, 7, -4):
+            cfg2 = dataclasses.replace(cfg, tb_cap_override=cap)
+            sk2, kw2 = engine_pallas.choose_kernel_shape(cfg2, S)
+            if sk2:
+                cfg, sk, kw = cfg2, sk2, kw2
+                break
     if cfg.backend == "pallas":
         if sk == 0:
             if not engine_pallas.slab_bound_ok(cfg):
@@ -302,10 +328,10 @@ def _resolve_backend(cfg: AlignConfig, batch: int, n_dev: int = 1):
                 f"batch_tile={batch} is incompatible with kernel tiling "
                 "(no Mosaic-legal sublane tile divides it at this VMEM "
                 "budget); use a multiple of 1024")
-        return "pallas", sk, kw
+        return "pallas", sk, kw, cfg
     if sk > 0 and jax.default_backend() == "tpu":
-        return "pallas", sk, kw
-    return "xla", 0, 0
+        return "pallas", sk, kw, cfg
+    return "xla", 0, 0, cfg
 
 
 # Predicted compaction caps per (cfg, maxw): the slow path must SYNC the
@@ -971,7 +997,7 @@ def align_pairs(
 
     mesh = _resolve_mesh(cfg)
     n_dev = int(mesh.devices.size) if mesh is not None else 1
-    engine, sk, kw = _resolve_backend(cfg, cfg.batch_tile, n_dev)
+    engine, sk, kw, cfg = _resolve_backend(cfg, cfg.batch_tile, n_dev)
 
     # sequences are encoded lazily per tile (fused C++ ASCII->2-bit->pack
     # when available); validation therefore happens tile by tile, and the
@@ -1265,7 +1291,7 @@ def align_reads(
 
     mesh = _resolve_mesh(cfg)
     n_dev = int(mesh.devices.size) if mesh is not None else 1
-    engine, sk, kw = _resolve_backend(cfg, cfg.batch_tile, n_dev)
+    engine, sk, kw, cfg = _resolve_backend(cfg, cfg.batch_tile, n_dev)
 
     tp0 = time.perf_counter_ns()
     # replicate/upload ONCE (mesh: the per-tile device_put inside the mesh

@@ -33,7 +33,7 @@ def stage_mapped(genome_content: str, reads, cfg):
     from ..api import _bucket_lin, _resolve_backend
     from ..ops import engine_pallas  # noqa: F401 (backend probe)
 
-    engine, sk, kw = _resolve_backend(cfg, cfg.batch_tile)
+    engine, sk, kw, cfg = _resolve_backend(cfg, cfg.batch_tile)
     if engine != "pallas":
         return None
     reads = reads[: cfg.batch_tile]

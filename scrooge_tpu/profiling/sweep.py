@@ -183,9 +183,13 @@ def _run_throughput_ladder(genome, reads, cfg: AlignConfig, data: List,
         print(f"retrying W={cfg.W} O={cfg.O} at batch {b}",
               file=sys.stderr)
     # last resort: the XLA engine at a watchdog-safe batch — a config
-    # that faults the TPU worker on the Pallas engine (observed: W=240,
-    # a vendor-stack Mosaic fault) still gets an honest row, marked by
-    # its engine column, like the W>=512 fallback rows (w512_xla.csv)
+    # that exhausts (or faults) the Pallas engine still gets an honest
+    # row, marked by its engine column, like the W>=512 fallback rows
+    # (w512_xla.csv). W=240, the one grid point that used to crash the
+    # TPU worker here, was a VMEM overflow (its traceback range
+    # straddles 5 words, 95MB > the 92MB budget); _resolve_backend's
+    # VMEM-fit cap shrink now keeps it on the Pallas engine
+    # (profile/w240_pallas_probe.log: 2048/2048 parity on hardware)
     if cfg.backend == "auto":
         bx = min(2048, max(floor, 1024))
         cfg_x = dataclasses.replace(cfg, backend="xla", batch_tile=bx)

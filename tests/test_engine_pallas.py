@@ -199,7 +199,7 @@ def test_pallas_vmem_fallback_resolution():
 
     big = _AC(W=512, K=512, O=257)
     assert not engine_pallas.fits_vmem(big)
-    engine, _, _ = _resolve_backend(big, 1024)
+    engine, _, _, _ = _resolve_backend(big, 1024)
     assert engine == "xla"
     # the tb_cap'd R scratch + 92MB validated budget keep W<=256 on the
     # Pallas engine (the profile.py:65-82 W-sweep range, all fast-path)
@@ -211,6 +211,36 @@ def test_pallas_vmem_fallback_resolution():
     # reported first — it binds regardless of batch size or VMEM budget
     with pytest.raises(ValueError, match="Pallas slab bound"):
         _resolve_backend(_AC(W=512, K=512, O=257, backend="pallas"), 1024)
+
+
+def test_vmem_fit_tb_cap_shrink(monkeypatch):
+    """W=240 (the one reference-grid W whose traceback range straddles 5
+    words, profile.py:65-82) misses the VMEM budget at its native
+    tb_cap=32; "auto" on TPU must shrink the cap until the kernel fits
+    instead of paying the XLA-engine fallback, and must leave explicit
+    overrides alone (exactness is cap-independent: over-cap lanes take
+    the escalation ladder / full-K retry)."""
+    import jax
+
+    from scrooge_tpu.api import _resolve_backend
+
+    cfg = _AC(W=240, K=240, O=121)
+    assert engine_pallas.choose_kernel_shape(cfg, 16) == (0, 0)
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    engine, sk, kw, fitted = _resolve_backend(cfg, 2048)
+    assert engine == "pallas" and sk > 0 and kw > 0
+    assert 8 <= fitted.tb_cap < cfg.tb_cap
+    assert engine_pallas.kernel_vmem_bytes(fitted, sk, kw) \
+        <= engine_pallas.VMEM_BUDGET
+    # a user-set cap is never second-guessed: if it does not fit, the
+    # config falls back to the XLA engine as before
+    pinned = _AC(W=240, K=240, O=121, tb_cap_override=32)
+    engine, _, _, out = _resolve_backend(pinned, 2048)
+    assert engine == "xla" and out.tb_cap == 32
+    # configs past the slab (Mosaic compile) bound must not shrink-loop
+    engine, _, _, _ = _resolve_backend(_AC(W=512, K=512, O=257), 1024)
+    assert engine == "xla"
 
 
 def test_pack_rows_dense_matches_oracle():
@@ -356,6 +386,50 @@ def test_w256_parity_interpreted():
     assert not np.asarray(rp.failed).any()
     np.testing.assert_array_equal(np.asarray(rp.edit_distance),
                                   np.asarray(rx.edit_distance))
+
+
+@pytest.mark.skipif(not os.environ.get("SCROOGE_SLOW_TESTS"),
+                    reason="interpreted large-W run; run with "
+                           "SCROOGE_SLOW_TESTS=1")
+def test_w240_parity_interpreted_shrunk_cap():
+    """W=240 K=240 O=121 on the Pallas engine at the VMEM-fit shrunk cap
+    (_resolve_backend: native tb_cap=32 models 95MB > the 92MB budget):
+    bit-identical edit distances to the XLA engine on lanes the capped
+    d-search resolves; over-cap lanes report FAIL_TB for the escalation
+    ladder, exactly the api contract. Mosaic compilation + full-pipeline
+    parity of this config is validated on hardware
+    (profile/w240_pallas_probe.log)."""
+    import dataclasses
+
+    from scrooge_tpu.api import _resolve_backend
+
+    # resolve at the sweep batch (2048: S=16, where only sk>=8 tiles are
+    # Mosaic-legal and the native cap overflows VMEM), then run the
+    # engine on one 128-lane block at the SAME shrunk cap
+    cfg0 = _AC(W=240, K=240, O=121, batch_tile=2048, backend="pallas")
+    engine, _, _, fitted = _resolve_backend(cfg0, 2048)
+    assert engine == "pallas" and fitted.tb_cap < 32
+    cfg = dataclasses.replace(fitted, batch_tile=128)
+    sk, kw = engine_pallas.choose_kernel_shape(cfg, 1)
+    B, rl, tl = 128, 220, 320
+    rng = np.random.default_rng(11)
+    text = rng.integers(0, 4, (B, tl), dtype=np.uint8)
+    pattern = np.where(rng.random((B, rl)) < 0.08,
+                       rng.integers(0, 4, (B, rl), dtype=np.uint8),
+                       text[:, :rl]).astype(np.uint8)
+    tlen = np.full(B, tl, np.int32)
+    plen = np.full(B, rl, np.int32)
+    maxw = cfg.max_windows(rl)
+    rp = engine_pallas.align_batch(
+        cfg, maxw, sk, kw, engine_pallas.pack_2bit_host(text), tlen,
+        engine_pallas.pack_2bit_host(pattern), plen)
+    rx = engine_xla.align_batch(cfg, maxw, text, tlen, pattern, plen)
+    failed = np.asarray(rp.failed)
+    ok = failed == 0
+    assert ok.any()
+    np.testing.assert_array_equal(np.asarray(rp.edit_distance)[ok],
+                                  np.asarray(rx.edit_distance)[ok])
+    assert (failed[~ok] & engine_pallas.FAIL_TB).all() or ok.all()
 
 
 def test_trailing_windows_beyond_max_windows_fail_like_xla():
